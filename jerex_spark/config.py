@@ -1,0 +1,51 @@
+"""Pipeline configuration.
+
+Thresholds and bounds mirror the reference operating point
+(/root/reference/configs/docred_joint/train.yaml:10-20 and
+/root/reference/configs.py:31-61); see BASELINE.md.  Everything here is
+a plain frozen dataclass so it pickles cheaply into executor closures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- JEREX semantic operating point (reference parity) ---
+    mention_threshold: float = 0.85   # ref configs/docred_joint/train.yaml:10
+    coref_threshold: float = 0.85    # ref configs/docred_joint/train.yaml:11
+    rel_threshold: float = 0.6       # ref configs/docred_joint/train.yaml:12
+    max_span_size: int = 10          # ref configs/docred_joint/train.yaml:20
+    meta_embedding_size: int = 25    # ref configs/docred_joint/train.yaml:13
+
+    # --- surrogate encoder/scorer geometry (weights.py) ---
+    hidden_size: int = 64            # surrogate stand-in for BERT's 768
+    vocab_size: int = 8192           # surrogate sub-word vocab
+    max_positions: int = 700         # ref jerex/models/__init__.py:57-67
+    unk_id: int = 100                # ref datasets.py:94-95 [UNK] fallback
+    subword_chunk: int = 4           # surrogate WordPiece: split every 4 chars
+    edit_dist_buckets: int = 30      # edit-distance embedding table size
+    token_dist_buckets: int = 30     # token-distance embedding table size
+    sent_dist_buckets: int = 30      # sentence-distance embedding table size
+    weight_seed: int = 20210211      # frozen-artifact seed (EACL 2021 date)
+
+    # --- per-doc cost caps, mirror ref chunking knobs (configs.py:97-130) ---
+    max_spans_per_doc: int = 4096
+    max_mentions_per_doc: int = 128
+    max_rel_pairs_per_doc: int = 16384
+
+    # --- ontology (FIXTURES.md §2; insertion order == label index,
+    #     ref jerex/data_module.py:25-46) ---
+    entity_types: tuple = ("PER", "ORG", "LOC", "MISC")
+    relation_types: tuple = ("works_at", "based_in", "partner_of")
+    symmetric_relations: tuple = ("partner_of",)
+
+    # --- scale knobs ---
+    shuffle_partitions: int = 32
+    arrow_max_records_per_batch: int = 256
+    salt_buckets: int = 64           # salted repartition fan-out for skew
+
+
+DEFAULT = PipelineConfig()

@@ -1,0 +1,151 @@
+"""Shared numpy scoring-head math (SURVEY.md §2.6 F1-F10).
+
+Pure fp32 numpy reimplementations of the reference's scoring heads:
+
+* F1 encoder         ref jerex/models/joint_models.py:57,78 (BERT; here
+                     the frozen surrogate: token+position embedding with
+                     local contextual mixing, tanh projection)
+* F2 mention score   ref jerex/models/modules/mention_localization.py:14-22
+* F3 coref score     ref jerex/models/modules/coreference_resolution.py:36-50
+* F4 entity typing   ref jerex/models/modules/entity_classification.py:13-17
+* F7/F8 MI relation  ref .../relation_classification_multi_instance.py:59-105
+* F10 distances      ref jerex/sampling/sampling_common.py:287-315
+* A1-A4 max-pools    ref mention_representation.py:25-31 etc.
+
+Both the plain-Python reference executor and the Spark extract UDF call
+these functions, with identical fp32 op order, so threshold-borderline
+scores cannot diverge between the two sides (SURVEY.md §7.3 item 2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import DEFAULT, PipelineConfig
+from .weights import SurrogateWeights
+
+
+def sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x.astype(np.float32)))
+
+
+def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    x = x.astype(np.float32)
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def relu(x: np.ndarray) -> np.ndarray:
+    return np.maximum(x, np.float32(0))
+
+
+def encode(encoding: list[int], w: SurrogateWeights,
+           cfg: PipelineConfig = DEFAULT) -> np.ndarray:
+    """F1: (L,) sub-word ids -> (L, d) fp32 contextual vectors."""
+    ids = np.asarray(encoding, dtype=np.int64)
+    if ids.size == 0:
+        return np.zeros((0, cfg.hidden_size), dtype=np.float32)
+    e = w.tok_emb[ids % cfg.vocab_size]
+    pos = np.arange(ids.size) % cfg.max_positions
+    # local mixing: h_i = .5 e_i + .25 e_{i-1} + .25 e_{i+1}
+    prev_e = np.vstack([e[:1], e[:-1]])
+    next_e = np.vstack([e[1:], e[-1:]])
+    mixed = 0.5 * e + 0.25 * prev_e + 0.25 * next_e + w.pos_emb[pos]
+    return np.tanh(mixed @ w.enc_w).astype(np.float32)
+
+
+def span_maxpool(h: np.ndarray, sub_start: np.ndarray,
+                 sub_end: np.ndarray) -> np.ndarray:
+    """A1: masked max over the sub-word vectors of each span (vectorized).
+
+    Equivalent to the reference's -1e30 masked max
+    (ref mention_representation.py:25-31) done per span.
+    """
+    n = len(sub_start)
+    d = h.shape[1] if h.ndim == 2 else 0
+    out = np.empty((n, d), dtype=np.float32)
+    for i in range(n):
+        out[i] = h[sub_start[i]:sub_end[i]].max(axis=0)
+    return out
+
+
+def mention_logits(span_repr: np.ndarray, sizes: np.ndarray,
+                   w: SurrogateWeights) -> np.ndarray:
+    """F2: concat(span_repr, size_emb[size]) -> MLP -> logit."""
+    x = np.concatenate([span_repr, w.size_emb[sizes]], axis=1)
+    hidden = relu(x @ w.men_w1 + w.men_b1)
+    return (hidden @ w.men_w2 + np.float32(w.men_b2)).astype(np.float32)
+
+
+def coref_logits(m1: np.ndarray, m2: np.ndarray, ed_bucket: np.ndarray,
+                 w: SurrogateWeights) -> np.ndarray:
+    """F3: concat(m1, m2, ed_emb[edit_dist]) -> MLP -> logit."""
+    x = np.concatenate([m1, m2, w.ed_emb[ed_bucket]], axis=1)
+    hidden = relu(x @ w.cor_w1 + w.cor_b1)
+    return (hidden @ w.cor_w2 + np.float32(w.cor_b2)).astype(np.float32)
+
+
+def entity_type_logits(ent_repr: np.ndarray, w: SurrogateWeights) -> np.ndarray:
+    """F4: entity repr -> MLP -> per-type logits (argmax = lowest index on
+    ties, matching torch semantics — ref joint_models.py:227)."""
+    hidden = relu(ent_repr @ w.ent_w1 + w.ent_b1)
+    return (hidden @ w.ent_w2 + w.ent_b2).astype(np.float32)
+
+
+def mention_pair_repr(ctx: np.ndarray, m1: np.ndarray, m2: np.ndarray,
+                      pair_repr: np.ndarray, tdist: np.ndarray,
+                      sdist: np.ndarray, w: SurrogateWeights) -> np.ndarray:
+    """F7: concat(ctx, m1, m2, entity_pair_repr, tok/sent dist embs) -> Linear.
+
+    ref relation_classification_multi_instance.py:59-87."""
+    x = np.concatenate(
+        [ctx, m1, m2, pair_repr, w.tdist_emb[tdist], w.sdist_emb[sdist]],
+        axis=1)
+    return relu(x @ w.mp_w + w.mp_b).astype(np.float32)
+
+
+def relation_logits(pooled: np.ndarray, head_type: np.ndarray,
+                    tail_type: np.ndarray, w: SurrogateWeights) -> np.ndarray:
+    """F8: pooled pair repr (+) head/tail type embeddings -> MLP -> per-type
+    logits.  ref relation_classification_multi_instance.py:89-105."""
+    x = np.concatenate(
+        [pooled, w.etype_emb[head_type], w.etype_emb[tail_type]], axis=1)
+    hidden = relu(x @ w.rel_w1 + w.rel_b1)
+    return (hidden @ w.rel_w2 + w.rel_b2).astype(np.float32)
+
+
+def context_pool(h: np.ndarray, first_end: int, second_start: int,
+                 d: int) -> np.ndarray:
+    """A4: masked max over sub-word tokens strictly between two mentions;
+    zero vector if adjacent/overlapping
+    (ref relation_classification_multi_instance.py:72-78)."""
+    if second_start > first_end:
+        return h[first_end:second_start].max(axis=0)
+    return np.zeros(d, dtype=np.float32)
+
+
+def token_distance(first_end: int, second_start: int) -> int:
+    """F10: max(0, second.start - first.end), token coordinates
+    (ref sampling_common.py:297-315)."""
+    return max(0, second_start - first_end)
+
+
+def edit_distance(a: str, b: str) -> int:
+    """J2: plain DP Levenshtein (semantics of ref jerex/util.py:93-106)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[lb]
