@@ -1,0 +1,290 @@
+"""Spark extract stage: documents -> (mentions, entities, triples).
+
+The JEREX core (SURVEY.md §7.1 step 3) as ONE fused ``mapInPandas``
+operator: per Arrow batch, all scoring-head matmuls are executed once
+across every document in the batch (span scoring, coref scoring,
+mention-pair scoring are batch-level matrix ops with per-doc segment
+reductions) — no per-row Python in the hot path.  Per-doc work that is
+inherently sequential (tokenization, complete-linkage clustering over
+<=~max_mentions mentions) stays tiny and executor-local.
+
+Every stage is intra-document (ref jerex pairing is all per-doc —
+SURVEY.md §2.3), so this stage is embarrassingly parallel: zero
+shuffles, linear scaling with cores/executors.  Skew (long docs, hot
+hosts) is handled by the salted repartition applied by the caller
+(pipeline.py) before this operator.
+
+Output is one nested row per document (doc graph); ``explode_*``
+helpers project the flat mentions / entities / triples tables
+(FIXTURES.md §3 schemas).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import scoring
+from .clustering import complete_linkage
+from .config import DEFAULT, PipelineConfig
+from .tokenization import tokenize_document
+from .weights import load_weights
+
+DOC_GRAPH_SCHEMA = (
+    "doc_key string, n_tokens int, n_spans int, "
+    "mentions array<struct<mention_idx:int, sent_idx:int, start:int, "
+    "end:int, sub_start:int, sub_end:int, phrase:string, score:double>>, "
+    "entities array<struct<entity_idx:int, type:string, type_score:double, "
+    "mention_idxs:array<int>, spans:array<struct<start:int, end:int>>>>, "
+    "triples array<struct<head_idx:int, tail_idx:int, rel_type:string, "
+    "score:double>>"
+)
+
+
+def _doc_candidates(text: str, cfg: PipelineConfig):
+    """Tokenize one doc and enumerate intra-sentence span candidates
+    (P1, ref sampling_common.py:77-98), capped at max_spans_per_doc."""
+    tok = tokenize_document(text, cfg)
+    spans: list[tuple[int, int, int]] = []
+    base = 0
+    for s_i, sent in enumerate(tok.sentences):
+        n = len(sent)
+        for size in range(1, cfg.max_span_size + 1):
+            for st in range(0, n - size + 1):
+                spans.append((base + st, base + st + size, s_i))
+        base += n
+    return tok, spans[: cfg.max_spans_per_doc]
+
+
+def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    w = load_weights(cfg)
+    d = cfg.hidden_size
+    docs = []           # per-doc dict state
+    span_reprs = []     # batch-level accumulators -> one matmul each
+    span_sizes = []
+    for doc_key, text in zip(pdf["doc_key"], pdf["text"]):
+        tok, spans = _doc_candidates(text or "", cfg)
+        h = scoring.encode(tok.encoding, w, cfg)
+        st = {"doc_key": doc_key, "tok": tok, "spans": spans, "h": h,
+              "span_off": sum(len(x["spans"]) for x in docs)}
+        if spans:
+            ss = np.fromiter((tok.sub_start[s] for s, _, _ in spans), int)
+            se = np.fromiter((tok.sub_end[e - 1] for _, e, _ in spans), int)
+            span_reprs.append(scoring.span_maxpool(h, ss, se))
+            span_sizes.append(
+                np.fromiter((e - s for s, e, _ in spans), int))
+            st["sub_s"], st["sub_e"] = ss, se
+        docs.append(st)
+
+    # F2 mention scoring: one matmul over every span in the batch
+    if span_reprs:
+        all_reprs = np.concatenate(span_reprs)
+        all_probs = scoring.sigmoid(scoring.mention_logits(
+            all_reprs, np.concatenate(span_sizes), w))
+    else:
+        all_reprs = np.zeros((0, d), dtype=np.float32)
+        all_probs = np.zeros(0, dtype=np.float32)
+
+    # per-doc threshold filter + cap (P2)
+    cor_m1, cor_m2, cor_bk = [], [], []
+    for st in docs:
+        spans, tok = st["spans"], st["tok"]
+        off = st["span_off"]
+        probs = all_probs[off:off + len(spans)]
+        kept = [i for i in range(len(spans))
+                if probs[i] >= cfg.mention_threshold]
+        kept.sort(key=lambda i: (-float(probs[i]), spans[i][0], spans[i][1]))
+        kept = kept[: cfg.max_mentions_per_doc]
+        kept.sort(key=lambda i: (spans[i][0], spans[i][1]))
+        ms = []
+        for m_i, i in enumerate(kept):
+            s, e, s_i = spans[i]
+            ms.append({"mention_idx": m_i, "sent_idx": s_i,
+                       "start": s, "end": e,
+                       "sub_start": int(st["sub_s"][i]),
+                       "sub_end": int(st["sub_e"][i]),
+                       "phrase": " ".join(tok.phrases[s:e]),
+                       "score": float(probs[i])})
+        st["mentions"] = ms
+        st["mrepr"] = (all_reprs[off:off + len(spans)][kept]
+                       if kept else np.zeros((0, d), dtype=np.float32))
+        # J1/J2: upper-triangle coref pairs, batch-accumulated
+        nm = len(ms)
+        st["cor_off"] = len(cor_bk)
+        for i in range(nm):
+            for j in range(i + 1, nm):
+                ed = scoring.edit_distance(ms[i]["phrase"], ms[j]["phrase"])
+                cor_bk.append(min(ed, cfg.edit_dist_buckets - 1))
+                cor_m1.append(st["mrepr"][i])
+                cor_m2.append(st["mrepr"][j])
+
+    # F3 coref scoring: one matmul over every pair in the batch
+    if cor_bk:
+        cor_sims = scoring.sigmoid(scoring.coref_logits(
+            np.stack(cor_m1), np.stack(cor_m2), np.asarray(cor_bk), w))
+    else:
+        cor_sims = np.zeros(0, dtype=np.float32)
+
+    # C1 clustering + A2/F4 entity pooling/typing (batch matmul)
+    ent_reprs_acc = []
+    for st in docs:
+        nm = len(st["mentions"])
+        dist = np.zeros((nm, nm), dtype=np.float32)
+        k = st["cor_off"]
+        for i in range(nm):
+            for j in range(i + 1, nm):
+                dist[i, j] = 1.0 - cor_sims[k]
+                k += 1
+        clusters = complete_linkage(dist, 1.0 - cfg.coref_threshold)
+        st["clusters"] = clusters
+        st["ent_off"] = sum(len(x) for x in ent_reprs_acc)
+        for c in clusters:
+            ent_reprs_acc.append(st["mrepr"][c].max(axis=0, keepdims=True))
+    if ent_reprs_acc:
+        all_ent = np.concatenate(ent_reprs_acc)
+        et_logits = scoring.entity_type_logits(all_ent, w)
+        et_probs = scoring.softmax(et_logits, axis=1)
+        et_arg = np.argmax(et_logits, axis=1)   # ties -> lowest index (F4)
+    else:
+        all_ent = np.zeros((0, d), dtype=np.float32)
+        et_probs = np.zeros((0, len(cfg.entity_types)), dtype=np.float32)
+        et_arg = np.zeros(0, dtype=np.int64)
+
+    # J4/J7/F7/F10/A3/A4: mention-pair features, batch-accumulated
+    mp_ctx, mp_m1, mp_m2, mp_pair, mp_td, mp_sd = [], [], [], [], [], []
+    mp_seg = []          # entity-pair segment id per mention pair
+    pair_meta = []       # (doc_i, head_entity_idx, tail_entity_idx)
+    for doc_i, st in enumerate(docs):
+        clusters = st.get("clusters", [])
+        ne = len(clusters)
+        st["entities"] = [{
+            "entity_idx": e_i,
+            "type": cfg.entity_types[int(et_arg[st["ent_off"] + e_i])],
+            "type_score": float(
+                et_probs[st["ent_off"] + e_i,
+                         int(et_arg[st["ent_off"] + e_i])]),
+            "mention_idxs": [int(m) for m in c],
+            "spans": sorted((st["mentions"][m]["start"],
+                             st["mentions"][m]["end"]) for m in c),
+        } for e_i, c in enumerate(clusters)]
+        if ne < 2:
+            continue
+        h = st["h"]
+        ms = st["mentions"]
+        pair_budget = cfg.max_rel_pairs_per_doc
+        for a in range(ne):
+            ra = all_ent[st["ent_off"] + a]
+            for b in range(ne):
+                if a == b:
+                    continue
+                if pair_budget <= 0:
+                    break
+                pair_budget -= 1
+                seg = len(pair_meta)
+                pair_meta.append((doc_i, a, b))
+                pr = np.concatenate([ra, all_ent[st["ent_off"] + b]])
+                for mi in clusters[a]:
+                    for mj in clusters[b]:
+                        A, B = ms[mi], ms[mj]
+                        lo = min(A["sub_end"], B["sub_end"])
+                        hi = max(A["sub_start"], B["sub_start"])
+                        mp_ctx.append(h[lo:hi].max(axis=0) if hi > lo
+                                      else np.zeros(d, dtype=np.float32))
+                        mp_m1.append(st["mrepr"][mi])
+                        mp_m2.append(st["mrepr"][mj])
+                        mp_pair.append(pr)
+                        mp_td.append(min(
+                            max(0, max(A["start"], B["start"])
+                                - min(A["end"], B["end"])),
+                            cfg.token_dist_buckets - 1))
+                        mp_sd.append(min(abs(A["sent_idx"] - B["sent_idx"]),
+                                         cfg.sent_dist_buckets - 1))
+                        mp_seg.append(seg)
+
+    # F7 + A3 + F8: batch matmuls with segment max-pool
+    for st in docs:
+        st["triples"] = []
+    if pair_meta:
+        mp = scoring.mention_pair_repr(
+            np.stack(mp_ctx), np.stack(mp_m1), np.stack(mp_m2),
+            np.stack(mp_pair), np.asarray(mp_td), np.asarray(mp_sd), w)
+        seg = np.asarray(mp_seg)
+        # segment boundaries: mp_seg is non-decreasing by construction
+        starts = np.searchsorted(seg, np.arange(len(pair_meta)))
+        pooled = np.maximum.reduceat(mp, starts, axis=0)
+        ht = np.fromiter(
+            (cfg.entity_types.index(docs[di]["entities"][a]["type"])
+             for di, a, _ in pair_meta), int)
+        tt = np.fromiter(
+            (cfg.entity_types.index(docs[di]["entities"][b]["type"])
+             for di, _, b in pair_meta), int)
+        rel_probs = scoring.sigmoid(scoring.relation_logits(pooled, ht, tt, w))
+        hit_pair, hit_type = np.where(rel_probs >= cfg.rel_threshold)
+        for p_i, r_i in zip(hit_pair, hit_type):
+            di, a, b = pair_meta[p_i]
+            docs[di]["triples"].append({
+                "head_idx": a, "tail_idx": b,
+                "rel_type": cfg.relation_types[r_i],
+                "score": float(rel_probs[p_i, r_i])})
+
+    return pd.DataFrame({
+        "doc_key": [st["doc_key"] for st in docs],
+        "n_tokens": [len(st["tok"].phrases) for st in docs],
+        "n_spans": [len(st["spans"]) for st in docs],
+        "mentions": [st["mentions"] for st in docs],
+        "entities": [st["entities"] for st in docs],
+        "triples": [st["triples"] for st in docs],
+    })
+
+
+def extract_graph(documents: DataFrame,
+                  cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """documents(doc_key string, text string) -> nested doc-graph rows.
+
+    The caller controls partitioning (see pipeline.salted_repartition);
+    this operator itself is shuffle-free.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _extract_batch(pdf, cfg)
+
+    return documents.select("doc_key", "text").mapInPandas(
+        run, schema=DOC_GRAPH_SCHEMA)
+
+
+def explode_mentions(graph: DataFrame) -> DataFrame:
+    m = F.explode("mentions").alias("m")
+    return graph.select("doc_key", m).select(
+        "doc_key", "m.mention_idx", "m.sent_idx", "m.start", "m.end",
+        "m.sub_start", "m.sub_end", "m.phrase", "m.score")
+
+
+def explode_entities(graph: DataFrame) -> DataFrame:
+    e = F.explode("entities").alias("e")
+    return graph.select("doc_key", e).select(
+        "doc_key", "e.entity_idx", "e.type", "e.type_score",
+        "e.mention_idxs", "e.spans")
+
+
+def explode_triples(graph: DataFrame) -> DataFrame:
+    """Flat triples with eval-identity keys (head/tail span set + type,
+    ref jerex/evaluation/conversion.py:13-17,64-79)."""
+    t = F.explode("triples").alias("t")
+    flat = graph.select("doc_key", F.col("entities").alias("ents"), t)
+    return flat.select(
+        "doc_key", "t.head_idx", "t.tail_idx", "t.rel_type", "t.score",
+        F.element_at("ents", F.col("t.head_idx") + 1)["spans"]
+        .alias("head_key"),
+        F.element_at("ents", F.col("t.tail_idx") + 1)["spans"]
+        .alias("tail_key"),
+        F.element_at("ents", F.col("t.head_idx") + 1)["type"]
+        .alias("head_type"),
+        F.element_at("ents", F.col("t.tail_idx") + 1)["type"]
+        .alias("tail_type"),
+    )

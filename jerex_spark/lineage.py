@@ -1,0 +1,134 @@
+"""Per-partition checkpointing with lineage + metrics (north rule).
+
+A checkpointed stage splits its input into ``n_buckets`` deterministic
+buckets (``xxhash64(doc_key) % n_buckets``), processes bucket-groups as
+separate Spark jobs, and appends one manifest line per bucket-group:
+
+    {stage, group, buckets, input_fingerprint, rows_in, rows_out,
+     wall_ms, status, finished_at}
+
+Restarting the same stage anti-joins the done-manifest: finished groups
+(matching input fingerprint) are skipped, unfinished ones re-run; the
+output directory is append-only parquet partitioned by group, so a
+re-run of a crashed group overwrites only its own partition
+(idempotent, exactly-once per group).
+
+At cluster scale the manifest would live in Iceberg snapshot metadata;
+locally it is a JSONL file written via atomic rename.  The bucket
+fingerprint is an order-insensitive sum of xxhash64(doc_key) — any
+change to a bucket's membership invalidates only that bucket's groups.
+
+This replaces the reference's pickle spool + rank-0 merge
+(ref jerex/model.py:174-186,242-257 — SURVEY.md §2.1 S9) with a
+shuffle-free, restartable layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointedStage:
+    def __init__(self, name: str, out_dir: str, n_buckets: int = 16,
+                 group_size: int = 4):
+        self.name = name
+        self.out_dir = out_dir
+        self.n_buckets = n_buckets
+        self.group_size = group_size
+        self.data_dir = os.path.join(out_dir, "data")
+        self.manifest_path = os.path.join(out_dir, "_manifest.jsonl")
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # --- manifest ---------------------------------------------------
+    def _read_manifest(self) -> list[dict]:
+        if not os.path.exists(self.manifest_path):
+            return []
+        with open(self.manifest_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _append_manifest(self, entry: dict) -> None:
+        tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
+        lines = self._read_manifest() + [entry]
+        with open(tmp, "w") as f:
+            for e in lines:
+                f.write(json.dumps(e) + "\n")
+        os.replace(tmp, self.manifest_path)   # atomic
+
+    def done_groups(self, fingerprints: dict[int, str]) -> set[int]:
+        done = set()
+        for e in self._read_manifest():
+            if (e["stage"] == self.name and e["status"] == "done"
+                    and e["input_fingerprint"]
+                    == fingerprints.get(e["group"])):
+                done.add(e["group"])
+        return done
+
+    # --- execution --------------------------------------------------
+    def _bucketed(self, df: DataFrame, key: str) -> DataFrame:
+        b = F.pmod(F.xxhash64(F.col(key)), F.lit(self.n_buckets))
+        return df.withColumn("_bucket", b).withColumn(
+            "_group", (F.col("_bucket") / self.group_size).cast("int"))
+
+    def _fingerprints(self, bucketed: DataFrame, key: str) -> dict[int, str]:
+        content_cols = [F.col(c) for c in bucketed.columns
+                        if not c.startswith("_")]
+        rows = (bucketed.groupBy("_group")
+                .agg(F.sum(F.xxhash64(*content_cols).cast("decimal(38,0)"))
+                     .alias("fp"),
+                     F.count("*").alias("n"))
+                .collect())
+        return {r["_group"]: f"{r['fp']}:{r['n']}" for r in rows}
+
+    def run(self, df: DataFrame, stage_fn, key: str = "doc_key",
+            max_groups: int | None = None) -> None:
+        """Process all (or the first ``max_groups`` — for kill tests)
+        not-yet-done groups.  ``stage_fn(group_df) -> DataFrame``."""
+        bucketed = self._bucketed(df, key).persist()
+        try:
+            fps = self._fingerprints(bucketed, key)
+            done = self.done_groups(fps)
+            todo = sorted(set(fps) - done)
+            if max_groups is not None:
+                todo = todo[:max_groups]
+            for g in todo:
+                t0 = time.time()
+                part = bucketed.filter(F.col("_group") == g)
+                rows_in = part.count()
+                out = stage_fn(part.drop("_bucket", "_group"))
+                gdir = os.path.join(self.data_dir, f"group={g}")
+                if os.path.exists(gdir):     # crashed attempt: redo cleanly
+                    shutil.rmtree(gdir)
+                out.write.mode("overwrite").parquet(gdir)
+                rows_out = out.sparkSession.read.parquet(gdir).count()
+                self._append_manifest({
+                    "stage": self.name, "group": g,
+                    "buckets": list(range(g * self.group_size,
+                                          (g + 1) * self.group_size)),
+                    "input_fingerprint": fps[g],
+                    "rows_in": rows_in, "rows_out": rows_out,
+                    "wall_ms": int((time.time() - t0) * 1000),
+                    "status": "done",
+                    "finished_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                })
+        finally:
+            bucketed.unpersist()
+
+    def is_complete(self, df: DataFrame, key: str = "doc_key") -> bool:
+        bucketed = self._bucketed(df, key)
+        fps = self._fingerprints(bucketed, key)
+        return set(fps) <= self.done_groups(fps)
+
+    def read_output(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.data_dir)
+
+    def metrics(self) -> list[dict]:
+        return [e for e in self._read_manifest()
+                if e["stage"] == self.name]

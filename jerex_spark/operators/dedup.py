@@ -1,0 +1,143 @@
+"""Deduplication operators over the documents table.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket self-join), and n-gram Jaccard — the dedup family a 100 TB
+training-data pipeline needs.  Everything is JVM-side Catalyst
+expressions; the hash function is md5 (identical in Spark and DuckDB),
+and MinHash signatures are *lexicographic minima of md5 hex strings*
+(seeded per hash function by prefixing the hash id), which makes every
+stage portable to the DuckDB oracle with zero custom code.
+
+Scale notes: at corpus scale the shingle explode is a flatMap (no
+shuffle); the signature build is one partial-aggregable groupBy; the
+LSH bucket join is an equi-join on (hash_id, sig) — AQE handles bucket
+skew; candidate pairs are distinct-ed before any verify stage.  This
+is the standard scale path: candidates are O(near-dups), never O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+SHINGLE_K = 5
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact dedup: hash-groupBy ------------------------------------------
+def dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (d.groupBy(F.md5("text").alias("text_md5"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc_id")))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5, COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingles(spark, sf_dir, k: int = SHINGLE_K):
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("l"))
+    return (d.filter(F.size("l") >= k)
+            .select("doc_id",
+                    F.explode(F.transform(
+                        F.sequence(F.lit(0), F.size("l") - k),
+                        lambda i: F.concat_ws(" ", F.slice("l", i + 1, k))))
+                    .alias("shingle"))
+            .distinct())
+
+
+_SHINGLES_SQL = f"""
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(l[i + 1:i + {SHINGLE_K}], ' ') AS shingle
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(0, len(l) - {SHINGLE_K})) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        WHERE len(l) >= {SHINGLE_K}))
+"""
+
+
+# --- MinHash + LSH candidate pairs ---------------------------------------
+def minhash_lsh_pairs(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("hash_id"),
+        "shingle")
+    sig = (hashed
+           .select("doc_id", "hash_id",
+                   F.md5(F.concat_ws("|", F.col("hash_id").cast("string"),
+                                     F.col("shingle"))).alias("h"))
+           .groupBy("doc_id", "hash_id").agg(F.min("h").alias("sig")))
+    a = sig.select(F.col("doc_id").alias("doc_a"), "hash_id", "sig")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "hash_id", "sig")
+    return (a.join(b, ["hash_id", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+MINHASH_SQL = f"""
+WITH {_SHINGLES_SQL},
+sig AS (
+  SELECT doc_id, h.hash_id,
+         MIN(md5(CAST(h.hash_id AS VARCHAR) || '|' || shingle)) AS sig
+  FROM shingles,
+       (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS hash_id) h
+  GROUP BY doc_id, h.hash_id)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b
+  ON a.hash_id = b.hash_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+# --- exact n-gram Jaccard for candidate pairs ----------------------------
+def ngram_jaccard(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    na = counts.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n").alias("n_a"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n").alias("n_b"))
+    return (inter.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("inter")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("inter")), 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.1))
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_SQL},
+counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       ROUND(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE ROUND(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 4) >= 0.1
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_SQL),
+    "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
+}

@@ -1,0 +1,58 @@
+"""KG-construction queries (the flagship pipeline surface).
+
+The extract stage embeds the frozen scorer inside a ``mapInPandas``
+black box, so these are not SQL-expressible — the driver records a
+rows-only check, while tests/test_parity.py holds the real correctness
+gate (exact triple parity vs the plain-Python reference executor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT
+from ..pipeline import build_graph, flagship_triples, kg_tables, \
+    load_documents
+
+
+def kg_triples(spark, sf_dir):
+    return flagship_triples(spark, sf_dir, DEFAULT)
+
+
+def kg_mentions(spark, sf_dir):
+    graph = build_graph(load_documents(spark, sf_dir), DEFAULT)
+    return kg_tables(graph)["mentions"].select(
+        "doc_key", "mention_idx", "sent_idx", "start", "end",
+        "sub_start", "sub_end", "phrase", F.round("score", 6).alias("score"))
+
+
+def kg_entities(spark, sf_dir):
+    graph = build_graph(load_documents(spark, sf_dir), DEFAULT)
+    e = kg_tables(graph)["entities"]
+    return e.select(
+        "doc_key", "entity_idx", "type",
+        F.round("type_score", 6).alias("type_score"),
+        F.size("mention_idxs").alias("n_mentions"),
+        # canonical identity key: sorted mention span set
+        # (ref jerex/evaluation/conversion.py:4-10)
+        F.concat_ws("|", F.transform(
+            "spans", lambda s: F.concat_ws(":", s.start, s.end)))
+        .alias("identity_key"))
+
+
+def kg_doc_stats(spark, sf_dir):
+    """Per-doc pipeline statistics (mentions/entities/triples emitted)."""
+    graph = build_graph(load_documents(spark, sf_dir), DEFAULT)
+    return graph.select(
+        "doc_key", "n_tokens", "n_spans",
+        F.size("mentions").alias("n_mentions"),
+        F.size("entities").alias("n_entities"),
+        F.size("triples").alias("n_triples"))
+
+
+QUERIES = {
+    "kg_triples": (kg_triples, None),
+    "kg_mentions": (kg_mentions, None),
+    "kg_entities": (kg_entities, None),
+    "kg_doc_stats": (kg_doc_stats, None),
+}

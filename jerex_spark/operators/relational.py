@@ -1,0 +1,262 @@
+"""Relational operators (SURVEY.md §2.3-§2.4, §2.9, §2.11).
+
+The reference's joins are all intra-document pair generation; here the
+same shapes (ordered self-pairs, outer match, multi-hot label agg,
+micro-P/R/F1, dedup, row_number ids, windowed rollups) are expressed as
+plain Catalyst-optimizable DataFrame plans over the driver's TPC-H-ish
+tables, each with a DuckDB oracle.
+
+Scale notes: dimension joins are broadcast (nation/region are tiny);
+aggregations are partial-agg friendly (sum/count/min/max only); no
+driver-side collects anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- J4 analog: ordered entity pairs i != j within a group ------------
+def j4_nation_pairs(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_regionkey").alias("region_key"),
+                 F.col("n_nationkey").alias("head"))
+    b = n.select(F.col("n_regionkey").alias("region_key"),
+                 F.col("n_nationkey").alias("tail"))
+    return (a.join(F.broadcast(b), "region_key")
+            .filter(F.col("head") != F.col("tail"))
+            .select("region_key", "head", "tail"))
+
+
+J4_SQL = """
+SELECT a.n_regionkey AS region_key, a.n_nationkey AS head,
+       b.n_nationkey AS tail
+FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+WHERE a.n_nationkey <> b.n_nationkey
+"""
+
+
+# --- J8 analog: prediction<->gt outer match stats ---------------------
+def j8_match_stats(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    with_orders = (_t(spark, sf_dir, "orders")
+                   .select("o_custkey").distinct())
+    j = cust.join(with_orders,
+                  cust.c_custkey == with_orders.o_custkey, "left")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.count("o_custkey").alias("n_with_orders"),
+        (F.count("*") - F.count("o_custkey")).alias("n_without_orders"),
+    )
+
+
+J8_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       COUNT(o.o_custkey) AS n_with_orders,
+       COUNT(*) - COUNT(o.o_custkey) AS n_without_orders
+FROM customer c
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+  ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --- A5 analog: multi-hot label aggregation ---------------------------
+def a5_priority_multihot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority")))
+        .alias("priorities"),
+        F.count("*").alias("n_orders"))
+
+
+A5_SQL = """
+SELECT o_custkey AS custkey,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+         AS priorities,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --- A6: micro precision/recall/F1 (ref scoring.py:63-73 semantics) ---
+def a6_micro_prf(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("event_type") == "error").cast("int").alias("pred"),
+        (F.col("value") > 150.0).cast("int").alias("gt"))
+    agg = e.agg(
+        F.sum(F.col("pred") * F.col("gt")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("gt"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("gt")).alias("fn"))
+    return agg.select(
+        "tp", "fp", "fn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 4)
+        .alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 4)
+        .alias("recall"),
+        F.round(2 * F.col("tp") / (2 * F.col("tp") + F.col("fp")
+                                   + F.col("fn")), 4).alias("f1"))
+
+
+A6_SQL = """
+WITH x AS (
+  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pred,
+         CASE WHEN value > 150.0 THEN 1 ELSE 0 END AS gt
+  FROM events),
+a AS (SELECT SUM(pred * gt) AS tp, SUM(pred * (1 - gt)) AS fp,
+             SUM((1 - pred) * gt) AS fn FROM x)
+SELECT tp, fp, fn,
+       ROUND(tp / (tp + fp), 4) AS precision,
+       ROUND(tp / (tp + fn), 4) AS recall,
+       ROUND(2.0 * tp / (2 * tp + fp + fn), 4) AS f1
+FROM a
+"""
+
+
+# --- D2: uniqueness / distinct counting --------------------------------
+def d2_lineitem_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey", "l_partkey", "l_suppkey")
+        .alias("n_distinct_keys"))
+
+
+D2_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT (l_orderkey, l_partkey, l_suppkey))
+         AS n_distinct_keys
+FROM lineitem
+"""
+
+
+# --- W1: row_number for deterministic id assignment (SURVEY §2.11) ----
+def w1_top_orders(spark, sf_dir):
+    from pyspark.sql.window import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+W1_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 2
+"""
+
+
+# --- TPC-H Q1-style aggregation (partial-agg friendly) -----------------
+def tpch_q1(spark, sf_dir):
+    # money sums in DECIMAL: exact, so rounding can never straddle a
+    # float .5 boundary differently than the oracle
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_shipdate",
+        F.col("l_quantity").cast("decimal(18,6)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,6)").alias("price"),
+        F.col("l_discount").cast("decimal(18,6)").alias("disc"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("qty"), 2).cast("double").alias("sum_qty"),
+                 F.round(F.sum("price"), 2).cast("double")
+                 .alias("sum_base_price"),
+                 F.round(F.sum(F.col("price") * (1 - F.col("disc"))), 2)
+                 .cast("double").alias("sum_disc_price"),
+                 F.round(F.avg("qty"), 4).cast("double").alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(AVG(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- 3-way join + aggregation (broadcast dim, shuffle fact) ------------
+def join_agg_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast("decimal(18,6)")
+         * (1 - F.col("l_discount").cast("decimal(18,6)")))
+        .alias("rev"))
+    return (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+            .filter(F.col("revenue") > 100000))
+
+
+JOIN_AGG_SQL = """
+SELECT o.o_orderkey,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+HAVING CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE) > 100000
+"""
+
+
+# --- streaming-shaped tumbling window rollup (batch formulation) -------
+def events_tumbling(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type",
+                      F.unix_timestamp(F.date_trunc("hour", "ts"))
+                      .alias("window_start"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+                 .cast("double").alias("sum_value")))
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "j4_nation_pairs": (j4_nation_pairs, J4_SQL),
+    "j8_match_stats": (j8_match_stats, J8_SQL),
+    "a5_priority_multihot": (a5_priority_multihot, A5_SQL),
+    "a6_micro_prf": (a6_micro_prf, A6_SQL),
+    "d2_lineitem_distinct": (d2_lineitem_distinct, D2_SQL),
+    "w1_top_orders": (w1_top_orders, W1_SQL),
+    "tpch_q1": (tpch_q1, TPCH_Q1_SQL),
+    "join_agg_revenue": (join_agg_revenue, JOIN_AGG_SQL),
+    "events_tumbling": (events_tumbling, EVENTS_TUMBLING_SQL),
+}

@@ -1,0 +1,108 @@
+"""Similarity search over the embeddings table.
+
+Brute-force cosine top-k as the correctness baseline (oracle-checked
+against DuckDB's list arithmetic) and a sign-LSH-bucketed variant as
+the scale path: at 100 TB you never do the O(n*m) cross join — you
+bucket both sides by hyperplane sign bits and join on the bucket, which
+turns the scan into an equi-join AQE can plan.  Dot products run
+JVM-side via higher-order functions (zip_with/aggregate) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+TOP_K = 5
+N_QUERIES = 10
+N_PLANES = 6
+
+
+def _emb(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id",
+                    F.transform("embedding",
+                                lambda x: x.cast("double")).alias("vec")))
+
+
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def _with_norm(df):
+    return df.withColumn(
+        "norm", F.expr("sqrt(" + _DOT.format(a="vec", b="vec") + ")"))
+
+
+# --- brute-force cosine top-k (baseline) ---------------------------------
+def ann_cosine_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+    emb = _with_norm(_emb(spark, sf_dir))
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")))
+    pairs = (emb.crossJoin(F.broadcast(q))
+             .filter(F.col("vec_id") != F.col("query_id")))
+    cos = F.expr(_DOT.format(a="qvec", b="vec")) / (
+        F.col("qnorm") * F.col("norm"))
+    ranked = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos6"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos6").desc(), F.col("neighbor_id"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id",
+                    F.round("cos6", 4).alias("cos"), "rank"))
+
+
+ANN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM e),
+q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+      FROM n WHERE vec_id < {N_QUERIES}),
+ranked AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qvec, n.vec) / (q.qnorm * n.norm), 6)
+           AS cos6
+  FROM q, n WHERE n.vec_id <> q.query_id),
+top AS (
+  SELECT query_id, neighbor_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, neighbor_id) AS rank
+  FROM ranked)
+SELECT query_id, neighbor_id, ROUND(cos6, 4) AS cos, rank
+FROM top WHERE rank <= {TOP_K}
+"""
+
+
+# --- sign-LSH bucketing (scale path; rows-only check) --------------------
+def _plane_expr(p: int, dim: int = 64) -> str:
+    """Deterministic pseudo-random hyperplane component from md5 bits:
+    component j of plane p = +1/-1 by parity of a hash nibble."""
+    return (f"transform(sequence(0, {dim - 1}), j -> "
+            f"case when (instr('0123456789abcdef', "
+            f"substring(md5(concat('plane{p}|', cast(j as string))), 1, 1))"
+            f" - 1) % 2 = 0 then 1.0d else -1.0d end)")
+
+
+def lsh_bucket_ann(spark, sf_dir):
+    """Bucket vectors by sign of projection onto N_PLANES deterministic
+    hyperplanes; candidate pairs share a bucket.  Returns per-bucket
+    candidate counts (the blocking statistics a planner needs)."""
+    emb = _emb(spark, sf_dir)
+    sign_bits = []
+    for p in range(N_PLANES):
+        proj = _DOT.format(a="vec", b=_plane_expr(p))
+        sign_bits.append(f"case when {proj} >= 0 then 1 else 0 end")
+    bucket = F.expr(" || ".join(f"cast({b} as string)" for b in sign_bits))
+    b = emb.select("vec_id", bucket.alias("bucket"))
+    return (b.groupBy("bucket")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.min("vec_id").alias("min_vec_id"))
+            .orderBy("bucket"))
+
+
+QUERIES = {
+    "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
+    "lsh_bucket_ann": (lsh_bucket_ann, None),   # non-SQL: md5-derived planes
+}

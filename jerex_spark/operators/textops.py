@@ -1,0 +1,291 @@
+"""Text-analysis operators over the documents table.
+
+Covers the relationally-expressible slices of the KG pipeline (span
+candidate enumeration P1, ref sampling_common.py:77-98) plus the
+training-data-pipeline text ops: token counting, quality scoring,
+language-ID heuristic, document fingerprinting, simhash.  Every
+operator is pure JVM-side Catalyst expressions (no Python UDFs) with a
+DuckDB oracle.
+
+The corpus has single-space-separated tokens and no sentence
+punctuation, so the whole document is one sentence (matches
+tokenization.split_sentences on this data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT as CFG
+
+def _toks():
+    return F.split(F.col("text"), " ")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- P1 closed form: candidate span count per document ------------------
+def p1_span_candidates(spark, sf_dir):
+    k = F.least(F.lit(CFG.max_span_size), F.size(_toks()))
+    n_spans = (k * (F.size(_toks()) + 1) - (k * (k + 1) / 2)).cast("long")
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(_toks()).alias("n_tokens"),
+        n_spans.alias("n_spans"))
+
+
+P1_COUNT_SQL = f"""
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       CAST(least({CFG.max_span_size}, len(string_split(text, ' ')))
+            * (len(string_split(text, ' ')) + 1)
+          - least({CFG.max_span_size}, len(string_split(text, ' ')))
+            * (least({CFG.max_span_size}, len(string_split(text, ' '))) + 1)
+            / 2 AS BIGINT) AS n_spans
+FROM documents
+"""
+
+
+# --- P1 relational: exploded span table (sizes 1..3) --------------------
+def p1_spans_rel(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
+    return (d.select("doc_id", F.size("toks").alias("n"),
+                     F.posexplode("toks").alias("start", "tok"))
+            .select("doc_id", "n", "start",
+                    F.explode(F.sequence(F.lit(1), F.lit(3))).alias("size"))
+            .filter(F.col("start") + F.col("size") <= F.col("n"))
+            .select("doc_id", "start",
+                    (F.col("start") + F.col("size")).alias("end")))
+
+
+P1_SPANS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (SELECT doc_id, len(l) AS n,
+               generate_subscripts(l, 1) - 1 AS start FROM t)
+SELECT doc_id, start, start + sz.size AS "end"
+FROM tok, (SELECT unnest(generate_series(1, 3)) AS size) sz
+WHERE start + sz.size <= n
+"""
+
+
+# --- flat token table (two-coordinate bookkeeping lives in the UDF
+#     stage; this is the relational projection) --------------------------
+def tokens_flat(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.posexplode(_toks()).alias("tok_idx", "phrase")))
+
+
+TOKENS_SQL = """
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' '), 1) - 1 AS tok_idx,
+       unnest(string_split(text, ' ')) AS phrase
+FROM documents
+"""
+
+
+# --- token counting: whitespace + word-regex --------------------------
+def token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(_toks()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+"), 0))
+        .alias("n_word_tokens"),
+        F.length("text").alias("n_chars"))
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+# --- quality scoring: stopword ratio + length --------------------------
+_STOPWORDS = ("the", "key", "scan", "join", "row")
+
+
+def quality_score(spark, sf_dir):
+    toks = _toks()
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n = F.size(toks)
+    ratio = F.round(n_stop / n, 4)
+    quality = F.round(0.5 * (n_stop / n)
+                      + 0.5 * F.least(F.lit(1.0), n / F.lit(100.0)), 4)
+    return _docs(spark, sf_dir).select(
+        "doc_id", n.alias("n_tokens"), n_stop.alias("n_stopwords"),
+        ratio.alias("stop_ratio"), quality.alias("quality"))
+
+
+QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+x AS (
+  SELECT doc_id, len(l) AS n_tokens,
+         len(list_filter(l, t -> list_contains({list(_STOPWORDS)}, t)))
+           AS n_stopwords
+  FROM t)
+SELECT doc_id, n_tokens, n_stopwords,
+       ROUND(n_stopwords / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+       ROUND(0.5 * n_stopwords / CAST(n_tokens AS DOUBLE)
+             + 0.5 * least(1.0, n_tokens / 100.0), 4) AS quality
+FROM x
+"""
+
+
+# --- language-ID: marker-ngram count heuristic --------------------------
+_LANG_MARKERS = [("en", "th"), ("de", "ch"), ("es", "rt"), ("fr", "re")]
+
+
+def _marker_count(col, marker):
+    return ((F.length(col) - F.length(F.replace(col, F.lit(marker),
+                                                F.lit(""))))
+            / len(marker)).cast("long")
+
+
+def langid_ngram(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    cols = [_marker_count(F.col("text"), m).alias(f"s_{lang}")
+            for lang, m in _LANG_MARKERS]
+    d = d.select("doc_id", "lang", *cols)
+    # argmax with deterministic priority order on ties
+    pred = F.lit("unk")
+    best = F.lit(-1).cast("long")
+    for lang, _ in _LANG_MARKERS:
+        cond = F.col(f"s_{lang}") > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, F.col(f"s_{lang}")).otherwise(best)
+    return d.select("doc_id", "lang", *[f"s_{lang}" for lang, _ in
+                                        _LANG_MARKERS], pred.alias("pred"))
+
+
+def _langid_sql():
+    score = {lang: f"CAST((length(text) - length(replace(text, '{m}', '')))"
+                   f" / {len(m)} AS BIGINT)"
+             for lang, m in _LANG_MARKERS}
+    cols = ",\n       ".join(f"{v} AS s_{k}" for k, v in score.items())
+    # same priority order as the Spark loop: later langs win only on >
+    langs = [lang for lang, _ in _LANG_MARKERS]
+    pred = "CASE"
+    for i, lang in enumerate(reversed(langs)):
+        others = [x for x in langs if langs.index(x) < langs.index(lang)]
+        cond = " AND ".join([f"s_{lang} > s_{o}" for o in others]) or "TRUE"
+        pred += f" WHEN {cond} THEN '{lang}'"
+    pred += " END"
+    return (f"WITH x AS (SELECT doc_id, lang,\n       {cols}\n"
+            f"FROM documents)\n"
+            f"SELECT doc_id, lang, s_en, s_de, s_es, s_fr, {pred} AS pred "
+            f"FROM x")
+
+
+# --- document fingerprint: bottom-k sketch over 3-gram shingles --------
+def fingerprint_bottomk(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("l"))
+    sh = d.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("l") - 3),
+            lambda i: F.concat_ws(" ", F.slice("l", i + 1, 3))))
+        .alias("shingle")).filter(F.size(F.split("shingle", " ")) == 3)
+    return sh.groupBy("doc_id").agg(
+        F.concat_ws("|", F.slice(F.array_sort(
+            F.collect_set(F.md5("shingle"))), 1, 4)).alias("fingerprint"),
+        F.countDistinct("shingle").alias("n_shingles"))
+
+
+FINGERPRINT_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT doc_id,
+              array_to_string(l[i + 1:i + 3], ' ') AS shingle
+       FROM (SELECT doc_id, l,
+                    unnest(generate_series(0, len(l) - 3)) AS i
+             FROM t WHERE len(l) >= 3)),
+u AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM sh)
+SELECT doc_id,
+       array_to_string(list_sort(list(h))[1:4], '|') AS fingerprint,
+       COUNT(*) AS n_shingles
+FROM u GROUP BY doc_id
+"""
+
+
+# --- simhash (32-bit) over whitespace tokens ----------------------------
+def simhash32(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(_toks()).alias("tok_idx", "tok"))
+    d = d.select("doc_id", F.md5("tok").alias("h"),
+                 F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+    bit = F.expr(
+        "shiftright(instr('0123456789abcdef', "
+        "substring(h, cast(b div 4 as int) + 1, 1)) - 1, "
+        "cast(3 - b % 4 as int)) & 1")
+    d = d.select("doc_id", "b", (2 * bit - 1).alias("c"))
+    per_bit = d.groupBy("doc_id", "b").agg(
+        F.when(F.sum("c") >= 0, 1).otherwise(0).alias("sbit"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.expr("shiftleft(cast(sbit as bigint), cast(b as int))"))
+        .alias("simhash"))
+
+
+SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+bits AS (
+  SELECT doc_id, b.b,
+         ((strpos('0123456789abcdef',
+                  substr(h, CAST(b.b // 4 AS INT) + 1, 1)) - 1)
+          >> CAST(3 - b.b % 4 AS INT)) & 1 AS bit
+  FROM tok, (SELECT unnest(generate_series(0, 31)) AS b) b),
+per_bit AS (
+  SELECT doc_id, b,
+         CASE WHEN SUM(2 * bit - 1) >= 0 THEN 1 ELSE 0 END AS sbit
+  FROM bits GROUP BY doc_id, b)
+SELECT doc_id, SUM(CAST(sbit AS BIGINT) << CAST(b AS INT)) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+# --- per-language corpus profile ----------------------------------------
+def lang_profile(spark, sf_dir):
+    return _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(F.size(_toks())), 2).alias("avg_tokens"))
+
+
+LANG_PROFILE_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+# --- multimodal plumbing: opaque binary payload + typed metadata --------
+def mm_binary_meta(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+    return d.select(
+        "doc_id", F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"))
+
+
+MM_META_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "p1_span_candidates": (p1_span_candidates, P1_COUNT_SQL),
+    "p1_spans_rel": (p1_spans_rel, P1_SPANS_SQL),
+    "tokens_flat": (tokens_flat, TOKENS_SQL),
+    "token_count": (token_count, TOKEN_COUNT_SQL),
+    "quality_score": (quality_score, QUALITY_SQL),
+    "langid_ngram": (langid_ngram, _langid_sql()),
+    "fingerprint_bottomk": (fingerprint_bottomk, FINGERPRINT_SQL),
+    "simhash32": (simhash32, SIMHASH_SQL),
+    "lang_profile": (lang_profile, LANG_PROFILE_SQL),
+    "mm_binary_meta": (mm_binary_meta, MM_META_SQL),
+}

@@ -1,0 +1,40 @@
+"""SparkSession factory with scale-tuned defaults.
+
+Pin UTC so DuckDB-oracle comparisons are stable, enable AQE (runtime
+coalescing + skew-join splitting for the canonicalization/dedup
+shuffles), and bound Arrow batch size so the extract UDF's per-batch
+memory stays flat regardless of input partition size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import DEFAULT, PipelineConfig
+
+
+def build_session(app: str = "jerex-spark", master: str | None = None,
+                  cfg: PipelineConfig = DEFAULT,
+                  extra: dict | None = None) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    b = (
+        SparkSession.builder.appName(app).master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(cfg.arrow_max_records_per_batch))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,75 @@
+"""T4: kill-and-restart resumability with per-partition lineage.
+
+A checkpointed stage is interrupted after a subset of bucket-groups
+(the kill), restarted, and must (a) skip finished groups, (b) finish
+the rest, (c) produce a final output identical to a single-shot run,
+(d) leave a complete lineage manifest with metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from jerex_spark.lineage import CheckpointedStage
+
+
+def _stage_fn(df):
+    return df.select("doc_key", F.length("text").alias("n_chars"))
+
+
+def _input(spark):
+    rows = [(f"src/{i}", "x" * (i % 17 + 1)) for i in range(200)]
+    return spark.createDataFrame(rows, ["doc_key", "text"])
+
+
+def test_kill_restart_resume(spark, tmp_path):
+    out = str(tmp_path / "stage1")
+    df = _input(spark)
+    st = CheckpointedStage("s1", out, n_buckets=16, group_size=4)
+
+    # first run "killed" after 2 of 4 groups
+    st.run(df, _stage_fn, max_groups=2)
+    assert not st.is_complete(df)
+    m1 = st.metrics()
+    assert len(m1) == 2 and all(e["status"] == "done" for e in m1)
+
+    # restart: finishes the remaining groups only
+    st.run(df, _stage_fn)
+    assert st.is_complete(df)
+    m2 = st.metrics()
+    assert len(m2) == 4
+    assert {e["group"] for e in m2} == {0, 1, 2, 3}
+    assert all(e["wall_ms"] >= 0 and e["rows_in"] > 0 for e in m2)
+    assert sum(e["rows_in"] for e in m2) == 200
+
+    # third run is a no-op (idempotent)
+    st.run(df, _stage_fn)
+    assert len(st.metrics()) == 4
+
+    # output identical to a single-shot run
+    got = {(r.doc_key, r.n_chars)
+           for r in st.read_output(spark).select("doc_key",
+                                                 "n_chars").collect()}
+    want = {(r.doc_key, r.n_chars) for r in _stage_fn(df).collect()}
+    assert got == want
+
+
+def test_fingerprint_invalidation(spark, tmp_path):
+    out = str(tmp_path / "stage2")
+    st = CheckpointedStage("s2", out, n_buckets=8, group_size=4)
+    df1 = _input(spark)
+    st.run(df1, _stage_fn)
+    assert st.is_complete(df1)
+    # changed input -> fingerprints differ -> stage not complete
+    df2 = df1.withColumn("text", F.concat(F.col("text"), F.lit("!")))
+    assert not st.is_complete(df2)
+    st.run(df2, _stage_fn)
+    assert st.is_complete(df2)
+    # manifest keeps full lineage history (old + new fingerprints)
+    with open(os.path.join(out, "_manifest.jsonl")) as f:
+        entries = [json.loads(x) for x in f]
+    assert len(entries) == 4
+    assert len({e["input_fingerprint"] for e in entries}) == 4
