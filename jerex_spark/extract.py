@@ -47,17 +47,30 @@ DOC_GRAPH_SCHEMA = (
 
 def _doc_candidates(text: str, cfg: PipelineConfig):
     """Tokenize one doc and enumerate intra-sentence span candidates
-    (P1, ref sampling_common.py:77-98), capped at max_spans_per_doc."""
+    (P1, ref sampling_common.py:77-98), capped at max_spans_per_doc.
+
+    Returns (tok, starts, ends, sent_idx) as int64 arrays, in the same
+    enumeration order as the reference (per sentence, size-major)."""
     tok = tokenize_document(text, cfg)
-    spans: list[tuple[int, int, int]] = []
+    st_parts, en_parts, si_parts = [], [], []
     base = 0
     for s_i, sent in enumerate(tok.sentences):
         n = len(sent)
         for size in range(1, cfg.max_span_size + 1):
-            for st in range(0, n - size + 1):
-                spans.append((base + st, base + st + size, s_i))
+            if n - size + 1 <= 0:
+                break
+            s = np.arange(base, base + n - size + 1, dtype=np.int64)
+            st_parts.append(s)
+            en_parts.append(s + size)
+            si_parts.append(np.full(len(s), s_i, dtype=np.int64))
         base += n
-    return tok, spans[: cfg.max_spans_per_doc]
+    if not st_parts:
+        z = np.zeros(0, dtype=np.int64)
+        return tok, z, z, z
+    starts = np.concatenate(st_parts)[: cfg.max_spans_per_doc]
+    ends = np.concatenate(en_parts)[: cfg.max_spans_per_doc]
+    sent_idx = np.concatenate(si_parts)[: cfg.max_spans_per_doc]
+    return tok, starts, ends, sent_idx
 
 
 def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
@@ -66,17 +79,21 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     docs = []           # per-doc dict state
     span_reprs = []     # batch-level accumulators -> one matmul each
     span_sizes = []
+    span_off = 0
     for doc_key, text in zip(pdf["doc_key"], pdf["text"]):
-        tok, spans = _doc_candidates(text or "", cfg)
+        tok, starts, ends, sent_idx = _doc_candidates(text or "", cfg)
         h = scoring.encode(tok.encoding, w, cfg)
-        st = {"doc_key": doc_key, "tok": tok, "spans": spans, "h": h,
-              "span_off": sum(len(x["spans"]) for x in docs)}
-        if spans:
-            ss = np.fromiter((tok.sub_start[s] for s, _, _ in spans), int)
-            se = np.fromiter((tok.sub_end[e - 1] for _, e, _ in spans), int)
+        st = {"doc_key": doc_key, "tok": tok, "h": h,
+              "starts": starts, "ends": ends, "sent_idx": sent_idx,
+              "span_off": span_off}
+        span_off += len(starts)
+        if len(starts):
+            tok_ss = np.asarray(tok.sub_start, dtype=np.int64)
+            tok_se = np.asarray(tok.sub_end, dtype=np.int64)
+            ss = tok_ss[starts]
+            se = tok_se[ends - 1]
             span_reprs.append(scoring.span_maxpool(h, ss, se))
-            span_sizes.append(
-                np.fromiter((e - s for s, e, _ in spans), int))
+            span_sizes.append(ends - starts)
             st["sub_s"], st["sub_e"] = ss, se
         docs.append(st)
 
@@ -89,29 +106,33 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         all_reprs = np.zeros((0, d), dtype=np.float32)
         all_probs = np.zeros(0, dtype=np.float32)
 
-    # per-doc threshold filter + cap (P2)
+    # per-doc threshold filter + cap (P2) — vectorized
     cor_m1, cor_m2, cor_bk = [], [], []
     for st in docs:
-        spans, tok = st["spans"], st["tok"]
+        tok = st["tok"]
+        ns = len(st["starts"])
         off = st["span_off"]
-        probs = all_probs[off:off + len(spans)]
-        kept = [i for i in range(len(spans))
-                if probs[i] >= cfg.mention_threshold]
-        kept.sort(key=lambda i: (-float(probs[i]), spans[i][0], spans[i][1]))
-        kept = kept[: cfg.max_mentions_per_doc]
-        kept.sort(key=lambda i: (spans[i][0], spans[i][1]))
+        probs = all_probs[off:off + ns]
+        kept = np.where(probs >= cfg.mention_threshold)[0]
+        if len(kept) > cfg.max_mentions_per_doc:
+            # cap keeps highest scores, ties by (start, end)
+            order = np.lexsort((st["ends"][kept], st["starts"][kept],
+                                -probs[kept]))
+            kept = kept[order[: cfg.max_mentions_per_doc]]
+        if len(kept):
+            kept = kept[np.lexsort((st["ends"][kept], st["starts"][kept]))]
         ms = []
         for m_i, i in enumerate(kept):
-            s, e, s_i = spans[i]
-            ms.append({"mention_idx": m_i, "sent_idx": s_i,
+            s, e = int(st["starts"][i]), int(st["ends"][i])
+            ms.append({"mention_idx": m_i, "sent_idx": int(st["sent_idx"][i]),
                        "start": s, "end": e,
                        "sub_start": int(st["sub_s"][i]),
                        "sub_end": int(st["sub_e"][i]),
                        "phrase": " ".join(tok.phrases[s:e]),
                        "score": float(probs[i])})
         st["mentions"] = ms
-        st["mrepr"] = (all_reprs[off:off + len(spans)][kept]
-                       if kept else np.zeros((0, d), dtype=np.float32))
+        st["mrepr"] = (all_reprs[off:off + ns][kept]
+                       if len(kept) else np.zeros((0, d), dtype=np.float32))
         # J1/J2: upper-triangle coref pairs, batch-accumulated
         nm = len(ms)
         st["cor_off"] = len(cor_bk)
@@ -234,7 +255,7 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     return pd.DataFrame({
         "doc_key": [st["doc_key"] for st in docs],
         "n_tokens": [len(st["tok"].phrases) for st in docs],
-        "n_spans": [len(st["spans"]) for st in docs],
+        "n_spans": [len(st["starts"]) for st in docs],
         "mentions": [st["mentions"] for st in docs],
         "entities": [st["entities"] for st in docs],
         "triples": [st["triples"] for st in docs],

@@ -1,0 +1,87 @@
+"""Graph materialization: canonical triples / entities / edges tables.
+
+Final stage of the KG pipeline (SURVEY.md §7.1 step 6): join the
+per-document triples to canonicalized entities, deduplicate across the
+corpus, and produce the three output tables a KG consumer reads:
+
+* ``entities``  — one row per canonical entity with surface stats
+* ``triples``   — deduplicated (subj, pred, obj) with provenance counts
+* ``edges``     — adjacency projection (subj, obj, weight)
+
+Dedup keys follow the reference's eval identity (within-doc: mention
+span set — ref jerex/evaluation/conversion.py:4-17; across docs:
+canonical id).  All aggregations are partial-agg friendly; the only
+shuffles are the two groupBys on canonical keys, which AQE skew-splits
+(hot entities like countries are real at web scale).  Writes are
+partitioned by ``rel_type`` (low cardinality, stable) so consumers
+prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def entity_phrases(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    """entities + representative phrase (first mention's phrase — the
+    reference picks the first mention's type/phrase for the cluster,
+    ref datasets.py:126-127)."""
+    first_m = F.col("mention_idxs")[0]
+    e = entities.select("doc_key", "entity_idx", "type",
+                        first_m.alias("first_mention"))
+    m = mentions.select("doc_key",
+                        F.col("mention_idx").alias("first_mention"),
+                        "phrase")
+    return e.join(m, ["doc_key", "first_mention"]).drop("first_mention")
+
+
+def canonical_triples(triples: DataFrame,
+                      canon_entities: DataFrame) -> DataFrame:
+    """Join per-doc triples to canonical ids and dedup corpus-wide.
+
+    canon_entities: (doc_key, entity_idx, canonical_id, type, phrase).
+    """
+    h = canon_entities.select(
+        "doc_key", F.col("entity_idx").alias("head_idx"),
+        F.col("canonical_id").alias("subj_id"),
+        F.col("phrase").alias("subj_phrase"),
+        F.col("type").alias("subj_type"))
+    t = canon_entities.select(
+        "doc_key", F.col("entity_idx").alias("tail_idx"),
+        F.col("canonical_id").alias("obj_id"),
+        F.col("phrase").alias("obj_phrase"),
+        F.col("type").alias("obj_type"))
+    joined = (triples.join(h, ["doc_key", "head_idx"])
+              .join(t, ["doc_key", "tail_idx"]))
+    return (joined.groupBy("subj_id", "rel_type", "obj_id")
+            .agg(F.count("*").alias("n_evidence"),
+                 F.min("subj_phrase").alias("subj_phrase"),
+                 F.min("obj_phrase").alias("obj_phrase"),
+                 F.min("subj_type").alias("subj_type"),
+                 F.min("obj_type").alias("obj_type"),
+                 F.max("score").alias("max_score"),
+                 F.countDistinct("doc_key").alias("n_docs")))
+
+
+def canonical_entity_table(canon_entities: DataFrame) -> DataFrame:
+    return (canon_entities.groupBy("canonical_id")
+            .agg(F.min("type").alias("type"),
+                 F.countDistinct("doc_key").alias("n_docs"),
+                 F.count("*").alias("n_clusters"),
+                 F.array_sort(F.collect_set("phrase")).alias("surfaces")))
+
+
+def edges(canon_triples: DataFrame) -> DataFrame:
+    return (canon_triples.groupBy("subj_id", "obj_id")
+            .agg(F.sum("n_evidence").alias("weight"),
+                 F.array_sort(F.collect_set("rel_type")).alias("rel_types")))
+
+
+def write_graph(out_dir: str, canon_triples: DataFrame,
+                canon_ents: DataFrame, edge_df: DataFrame) -> None:
+    (canon_triples.repartition("rel_type")
+     .write.mode("overwrite").partitionBy("rel_type")
+     .parquet(f"{out_dir}/triples"))
+    canon_ents.write.mode("overwrite").parquet(f"{out_dir}/entities")
+    edge_df.write.mode("overwrite").parquet(f"{out_dir}/edges")

@@ -57,17 +57,25 @@ def encode(encoding: list[int], w: SurrogateWeights,
 
 def span_maxpool(h: np.ndarray, sub_start: np.ndarray,
                  sub_end: np.ndarray) -> np.ndarray:
-    """A1: masked max over the sub-word vectors of each span (vectorized).
+    """A1: masked max over the sub-word vectors of each span.
 
     Equivalent to the reference's -1e30 masked max
-    (ref mention_representation.py:25-31) done per span.
+    (ref mention_representation.py:25-31); fully vectorized via a flat
+    gather + segmented ``maximum.reduceat`` (max is order-insensitive,
+    so this is bit-identical to a per-span loop).
     """
     n = len(sub_start)
     d = h.shape[1] if h.ndim == 2 else 0
-    out = np.empty((n, d), dtype=np.float32)
-    for i in range(n):
-        out[i] = h[sub_start[i]:sub_end[i]].max(axis=0)
-    return out
+    if n == 0:
+        return np.zeros((0, d), dtype=np.float32)
+    sub_start = np.asarray(sub_start, dtype=np.int64)
+    sub_end = np.asarray(sub_end, dtype=np.int64)
+    lens = sub_end - sub_start
+    csum = np.cumsum(lens)
+    idx = (np.repeat(sub_start, lens)
+           + np.arange(csum[-1]) - np.repeat(csum - lens, lens))
+    bounds = np.concatenate([[0], csum[:-1]])
+    return np.maximum.reduceat(h[idx], bounds, axis=0)
 
 
 def mention_logits(span_repr: np.ndarray, sizes: np.ndarray,

@@ -18,6 +18,13 @@ from .config import DEFAULT, PipelineConfig
 def build_session(app: str = "jerex-spark", master: str | None = None,
                   cfg: PipelineConfig = DEFAULT,
                   extra: dict | None = None) -> SparkSession:
+    # one BLAS thread per python worker: with N workers per node, letting
+    # OpenBLAS spawn N threads each oversubscribes N^2 threads and the
+    # extract UDF's matmuls thrash. Workers inherit the JVM env, so set
+    # this before the JVM launches (and pass executorEnv for clusters).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     b = (
@@ -34,6 +41,9 @@ def build_session(app: str = "jerex-spark", master: str | None = None,
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

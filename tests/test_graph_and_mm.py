@@ -1,0 +1,91 @@
+"""Graph materialization, multimodal plumbing, and the full
+pages -> canonical-graph integration path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jerex_spark.canonicalize import canonicalize_entities
+from jerex_spark.corpus import make_pages
+from jerex_spark.extract import extract_graph
+from jerex_spark.graph import (canonical_entity_table, canonical_triples,
+                               edges, entity_phrases)
+from jerex_spark.multimodal import media_features
+from jerex_spark.pipeline import kg_tables
+
+
+@pytest.fixture(scope="module")
+def pages_graph(spark):
+    pdf = make_pages(120)[["url", "text"]].rename(
+        columns={"url": "doc_key"})
+    g = extract_graph(spark.createDataFrame(pdf)).persist()
+    g.count()
+    yield g
+    g.unpersist()
+
+
+def test_end_to_end_canonical_graph(spark, pages_graph):
+    t = kg_tables(pages_graph)
+    ents = entity_phrases(t["mentions"], t["entities"])
+    alias = spark.createDataFrame(
+        [("acme corp", "Q_ACME"), ("globex", "Q_GLOBEX"),
+         ("alice rivera", "Q_ALICE"), ("springfield", "Q_SPR")],
+        ["alias", "canonical_id"])
+    canon = canonicalize_entities(ents, alias)
+    assert canon.filter(F.col("canonical_id").isNull()).count() == 0
+
+    ct = canonical_triples(t["triples"], canon)
+    n_raw = t["triples"].count()
+    n_canon = ct.count()
+    assert 0 < n_canon <= n_raw
+    # dedup really merges: key is unique
+    assert ct.groupBy("subj_id", "rel_type", "obj_id").count() \
+        .filter("count > 1").count() == 0
+
+    et = canonical_entity_table(canon)
+    assert et.groupBy("canonical_id").count().filter("count > 1") \
+        .count() == 0
+
+    ed = edges(ct)
+    assert ed.count() <= n_canon
+    assert ed.filter(F.col("weight") < 1).count() == 0
+
+
+def test_alias_hits_collapse_across_docs(spark, pages_graph):
+    t = kg_tables(pages_graph)
+    ents = entity_phrases(t["mentions"], t["entities"])
+    alias = spark.createDataFrame([("acme corp", "Q_ACME")],
+                                  ["alias", "canonical_id"])
+    canon = canonicalize_entities(ents, alias)
+    hits = canon.filter(F.col("canonical_id") == "Q_ACME")
+    if hits.count() >= 2:   # corpus plants acme in many docs
+        assert hits.select("doc_key").distinct().count() >= 2
+
+
+def test_media_features_plumbing(spark):
+    rows = [("d1", 0, "image", bytearray(b"\x89PNG fake bytes")),
+            ("d1", 1, "image", bytearray(b"other payload")),
+            ("d2", 0, "audio", bytearray(b"RIFF fake"))]
+    media = spark.createDataFrame(
+        rows, "doc_key string, media_idx int, kind string, payload binary")
+    out = media_features(media).collect()
+    assert len(out) == 3
+    by_key = {(r.doc_key, r.media_idx): r for r in out}
+    r = by_key[("d1", 0)]
+    assert r.n_bytes == 15 and len(r.embedding) == 16
+    assert r.width > 0 and r.height > 0
+    # determinism: same payload -> same features on re-run
+    out2 = media_features(media).collect()
+    assert {(r.doc_key, r.media_idx, r.content_crc, tuple(r.embedding))
+            for r in out} == \
+           {(r.doc_key, r.media_idx, r.content_crc, tuple(r.embedding))
+            for r in out2}
+
+
+def test_media_empty_payload_raises_cleanly(spark):
+    media = spark.createDataFrame(
+        [("d", 0, "image", bytearray(b""))],
+        "doc_key string, media_idx int, kind string, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        media_features(media).collect()
