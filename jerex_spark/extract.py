@@ -92,7 +92,12 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
             tok_se = np.asarray(tok.sub_end, dtype=np.int64)
             ss = tok_ss[starts]
             se = tok_se[ends - 1]
-            span_reprs.append(scoring.span_maxpool(h, ss, se))
+            # hierarchical pooling: per-token max once, then exact
+            # power-of-two window max — same values as the direct
+            # sub-word gather, ~10x less memory traffic
+            tokpool = scoring.token_maxpool(h, tok_ss, tok_se)
+            span_reprs.append(scoring.span_maxpool_windows(
+                tokpool, starts, ends - starts, cfg.max_span_size))
             span_sizes.append(ends - starts)
             st["sub_s"], st["sub_e"] = ss, se
         docs.append(st)

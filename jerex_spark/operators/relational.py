@@ -249,8 +249,50 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- A1/A2 relational form: element-wise max/avg pool over vectors ----
+def a2_elementwise_pool(spark, sf_dir):
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .select("label", F.posexplode("embedding").alias("dim", "v")))
+    return (e.groupBy("label", "dim")
+            .agg(F.round(F.max(F.col("v").cast("double")), 6)
+                 .alias("max_val"),
+                 F.count("*").alias("n")))
+
+
+A2_SQL = """
+WITH x AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM embeddings)
+SELECT label, dim, ROUND(MAX(CAST(v AS DOUBLE)), 6) AS max_val,
+       COUNT(*) AS n
+FROM x GROUP BY label, dim
+"""
+
+
+# --- grouping sets / cube (engine-checklist completeness) --------------
+def cube_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(18,6)")), 2)
+                 .cast("double").alias("sum_price")))
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES = {
     "j4_nation_pairs": (j4_nation_pairs, J4_SQL),
+    "a2_elementwise_pool": (a2_elementwise_pool, A2_SQL),
+    "cube_orders": (cube_orders, CUBE_SQL),
     "j8_match_stats": (j8_match_stats, J8_SQL),
     "a5_priority_multihot": (a5_priority_multihot, A5_SQL),
     "a6_micro_prf": (a6_micro_prf, A6_SQL),

@@ -102,7 +102,28 @@ def lsh_bucket_ann(spark, sf_dir):
             .orderBy("bucket"))
 
 
+LSH_BUCKET_SQL = f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+pl AS (SELECT p.p, j.j,
+              CASE WHEN (strpos('0123456789abcdef',
+                         substr(md5('plane' || p.p || '|' || j.j), 1, 1))
+                         - 1) % 2 = 0
+                   THEN 1.0 ELSE -1.0 END AS w
+       FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p,
+            (SELECT unnest(generate_series(0, 63)) AS j) j),
+proj AS (SELECT e.vec_id, pl.p, SUM(e.v * pl.w) AS s
+         FROM e JOIN pl ON e.j = pl.j GROUP BY e.vec_id, pl.p),
+buck AS (SELECT vec_id,
+                string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                           ORDER BY p) AS bucket
+         FROM proj GROUP BY vec_id)
+SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+FROM buck GROUP BY bucket
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
-    "lsh_bucket_ann": (lsh_bucket_ann, None),   # non-SQL: md5-derived planes
+    "lsh_bucket_ann": (lsh_bucket_ann, LSH_BUCKET_SQL),
 }

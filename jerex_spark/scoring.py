@@ -55,6 +55,45 @@ def encode(encoding: list[int], w: SurrogateWeights,
     return np.tanh(mixed @ w.enc_w).astype(np.float32)
 
 
+def token_maxpool(h: np.ndarray, tok_sub_start: np.ndarray,
+                  tok_sub_end: np.ndarray) -> np.ndarray:
+    """Per-token max over the token's sub-word vectors — the first level
+    of the span pooling hierarchy."""
+    return span_maxpool(h, tok_sub_start, tok_sub_end)
+
+
+def span_maxpool_windows(tokpool: np.ndarray, starts: np.ndarray,
+                         sizes: np.ndarray, max_size: int) -> np.ndarray:
+    """Exact window max over token pools via the sparse-table doubling
+    trick: precompute mP[i] = max(tokpool[i..i+2^p-1]) for each power of
+    two, then any window of length k is max(mP[start], mP[start+k-P])
+    with P = 2^floor(log2 k).  O(T log S) traffic instead of the
+    O(sum span lens) gather — identical fp32 results (max is
+    order-insensitive), ~10x less memory movement at 500 spans/doc.
+    """
+    T = tokpool.shape[0]
+    levels = [tokpool]
+    p = 1
+    while p * 2 <= max_size and p < T:
+        prev = levels[-1]
+        nxt = prev.copy()
+        if T > p:
+            np.maximum(prev[:T - p], prev[p:], out=nxt[:T - p])
+        levels.append(nxt)
+        p *= 2
+    lvl_idx = np.floor(np.log2(np.maximum(sizes, 1))).astype(np.int64)
+    lvl_idx = np.minimum(lvl_idx, len(levels) - 1)
+    out = np.empty((len(starts), tokpool.shape[1]), dtype=np.float32)
+    for li in range(len(levels)):
+        m = lvl_idx == li
+        if not m.any():
+            continue
+        s = starts[m]
+        e = s + sizes[m] - (1 << li)
+        out[m] = np.maximum(levels[li][s], levels[li][e])
+    return out
+
+
 def span_maxpool(h: np.ndarray, sub_start: np.ndarray,
                  sub_end: np.ndarray) -> np.ndarray:
     """A1: masked max over the sub-word vectors of each span.
@@ -80,9 +119,18 @@ def span_maxpool(h: np.ndarray, sub_start: np.ndarray,
 
 def mention_logits(span_repr: np.ndarray, sizes: np.ndarray,
                    w: SurrogateWeights) -> np.ndarray:
-    """F2: concat(span_repr, size_emb[size]) -> MLP -> logit."""
-    x = np.concatenate([span_repr, w.size_emb[sizes]], axis=1)
-    hidden = relu(x @ w.men_w1 + w.men_b1)
+    """F2: concat(span_repr, size_emb[size]) -> MLP -> logit.
+
+    Computed as a split matmul (span part + per-size lookup of the
+    size-embedding part) — avoids materializing the (n, d+m) concat,
+    which dominated memory traffic at ~500 spans/doc.  Same math as
+    ``concat(x) @ W``; both parity sides share this code path, so fp
+    rounding is identical between them.
+    """
+    d = span_repr.shape[1]
+    # size_emb @ men_w1[d:] has only max_span_size+1 distinct rows
+    size_part = w.size_emb @ w.men_w1[d:]
+    hidden = relu(span_repr @ w.men_w1[:d] + size_part[sizes] + w.men_b1)
     return (hidden @ w.men_w2 + np.float32(w.men_b2)).astype(np.float32)
 
 
