@@ -78,6 +78,23 @@ def edges(canon_triples: DataFrame) -> DataFrame:
                  F.array_sort(F.collect_set("rel_type")).alias("rel_types")))
 
 
+def export_predictions_json(graph: DataFrame, path: str) -> None:
+    """S7: per-document predictions export (mentions, entity clusters
+    as mention-idx lists + type, relations) — the shape of the
+    reference's predictions.json sink
+    (ref jerex/evaluation/joint_evaluator.py:111-135), written as
+    distributed JSON lines instead of a rank-0 spool."""
+    (graph.select("doc_key", "mentions",
+                  F.transform("entities", lambda e: F.struct(
+                      e.mention_idxs.alias("mentions"),
+                      e.type.alias("type"))).alias("entities"),
+                  F.transform("triples", lambda t: F.struct(
+                      t.head_idx.alias("head"),
+                      t.tail_idx.alias("tail"),
+                      t.rel_type.alias("type"))).alias("relations"))
+     .write.mode("overwrite").json(path))
+
+
 def write_graph(out_dir: str, canon_triples: DataFrame,
                 canon_ents: DataFrame, edge_df: DataFrame) -> None:
     (canon_triples.repartition("rel_type")

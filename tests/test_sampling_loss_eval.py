@@ -1,0 +1,164 @@
+"""Train-time sampling (N1-N4), loss reductions (A7), five-layer
+evaluation (A6), predictions sink (S7), and the T5 skew smoke test."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jerex_spark import losses
+from jerex_spark.evaluation import evaluate_five_layers, per_type_prf
+from jerex_spark.sampling import (build_training_samples,
+                                  sample_negative_coref_pairs,
+                                  sample_negative_mentions,
+                                  sample_negative_relations)
+
+
+# --- N1-N4 ---------------------------------------------------------------
+def test_negative_mentions_deterministic_and_disjoint():
+    gold = {(0, 2), (5, 6)}
+    a = sample_negative_mentions("doc1", [12], gold, neg_count=20)
+    b = sample_negative_mentions("doc1", [12], gold, neg_count=20)
+    assert a == b                      # seeded per-doc replay
+    assert not set(a) & gold           # negatives never gold
+    c = sample_negative_mentions("doc2", [12], gold, neg_count=20)
+    assert a != c                      # different doc -> different draw
+
+
+def test_negative_mentions_overlap_quota():
+    gold = {(3, 5)}
+    neg = sample_negative_mentions("d", [10], gold, neg_count=10,
+                                   overlap_ratio=0.5)
+    overl = [s for s in neg if s[0] < 5 and 3 < s[1]]
+    assert len(neg) == 10
+    assert len(overl) == 5             # exactly the overlap quota
+
+
+def test_coref_pairs():
+    clusters = [[0, 2, 4], [1], [3, 5]]
+    pos, neg = sample_negative_coref_pairs("d", clusters, neg_count=5)
+    assert set(pos) == {(0, 2), (0, 4), (2, 4), (3, 5)}
+    owner = {m: i for i, c in enumerate(clusters) for m in c}
+    assert all(owner[a] != owner[b] for a, b in neg)
+    assert len(neg) == 5
+
+
+def test_negative_relations_exclude_gold():
+    neg = sample_negative_relations("d", 4, {(0, 1), (2, 3)}, neg_count=50)
+    assert (0, 1) not in neg and (2, 3) not in neg
+    assert len(neg) == 4 * 3 - 2       # pool smaller than quota
+
+
+def test_build_training_samples_multihot():
+    s = build_training_samples(
+        "d", "a b c d e f g h", [(0, 1), (2, 3)], [[0], [1]],
+        [(0, 1, "works_at"), (0, 1, "partner_of"), (1, 0, "based_in")])
+    assert s["pos_rel_multihot"][(0, 1)] == [1, 0, 1]
+    assert s["pos_rel_multihot"][(1, 0)] == [0, 1, 0]
+
+
+# --- A7 ------------------------------------------------------------------
+def test_bce_matches_closed_form():
+    logits = np.array([0.0, 2.0, -2.0], dtype=np.float32)
+    targets = np.array([1.0, 1.0, 0.0], dtype=np.float32)
+    want = -(math.log(0.5) + math.log(1 / (1 + math.exp(-2)))
+             + math.log(1 - 1 / (1 + math.exp(2)))) / 3
+    assert abs(losses.bce_with_logits(logits, targets) - want) < 1e-6
+
+
+def test_bce_mask_excludes_padding():
+    logits = np.array([0.0, 100.0], dtype=np.float32)
+    targets = np.array([1.0, 0.0], dtype=np.float32)
+    mask = np.array([1.0, 0.0], dtype=np.float32)
+    assert abs(losses.bce_with_logits(logits, targets, mask)
+               - (-math.log(0.5))) < 1e-6
+
+
+def test_ce_and_joint_weights():
+    logits = np.array([[2.0, 0.0, 0.0]], dtype=np.float32)
+    idx = np.array([0])
+    want = -math.log(math.exp(2) / (math.exp(2) + 2))
+    assert abs(losses.ce_with_logits(logits, idx) - want) < 1e-6
+    assert losses.joint_loss(1.0, 2.0, 4.0, 8.0) == 1 + 2 + 0.25 * 4 + 8
+
+
+# --- A6 five layers -------------------------------------------------------
+def _triples_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_key string, head_key array<struct<start:int,end:int>>, "
+        "tail_key array<struct<start:int,end:int>>, head_type string, "
+        "tail_type string, rel_type string")
+
+
+def test_five_layer_eval(spark):
+    m = "doc_key string, start int, end int"
+    e = ("doc_key string, spans array<struct<start:int,end:int>>, "
+         "type string")
+    pred_m = spark.createDataFrame(
+        [("d", 0, 1), ("d", 2, 3), ("d", 9, 10)], m)
+    gt_m = spark.createDataFrame([("d", 0, 1), ("d", 2, 3), ("d", 4, 5)], m)
+    pred_e = spark.createDataFrame(
+        [("d", [(0, 1), (2, 3)], "PER"), ("d", [(9, 10)], "ORG")], e)
+    gt_e = spark.createDataFrame(
+        [("d", [(2, 3), (0, 1)], "PER"), ("d", [(4, 5)], "ORG")], e)
+    k = [(0, 1), (2, 3)]
+    pred_t = _triples_df(spark, [
+        ("d", k, [(9, 10)], "PER", "ORG", "works_at"),
+        ("d", k, [(9, 10)], "PER", "ORG", "works_at"),   # dup: once
+    ])
+    gt_t = _triples_df(spark, [
+        ("d", k, [(9, 10)], "PER", "MISC", "works_at"),
+        ("d", k, [(9, 10)], "PER", "MISC", "based_in"),
+    ])
+    r = evaluate_five_layers(pred_m, gt_m, pred_e, gt_e, pred_t, gt_t)
+    assert r["mention"]["tp"] == 2 and r["mention"]["fp"] == 1 \
+        and r["mention"]["fn"] == 1
+    # coref: span-set identity is order-insensitive
+    assert r["coref"]["tp"] == 1
+    assert r["entity"]["tp"] == 1
+    # relation layer ignores entity types: works_at matches (dup deduped)
+    assert r["relation"]["tp"] == 1 and r["relation"]["fp"] == 0 \
+        and r["relation"]["fn"] == 1
+    # rel_nec adds types: tail_type ORG vs MISC -> no match
+    assert r["rel_nec"]["tp"] == 0
+    pt = {x.rel_type: x for x in per_type_prf(pred_t, gt_t).collect()}
+    assert pt["works_at"].tp == 1 and pt["based_in"].fn == 1
+
+
+# --- S7 sink --------------------------------------------------------------
+def test_predictions_json_sink(spark, tmp_path):
+    from jerex_spark.corpus import make_pages
+    from jerex_spark.extract import extract_graph
+    from jerex_spark.graph import export_predictions_json
+    pdf = make_pages(30)[["url", "text"]].rename(columns={"url": "doc_key"})
+    g = extract_graph(spark.createDataFrame(pdf))
+    out = str(tmp_path / "preds")
+    export_predictions_json(g, out)
+    files = [f for f in os.listdir(out) if f.endswith(".json")]
+    rows = []
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            rows += [json.loads(x) for x in fh if x.strip()]
+    assert len(rows) == 30
+    r = next(x for x in rows if x.get("entities"))
+    assert set(r) >= {"doc_key", "mentions", "entities", "relations"}
+    assert all("type" in e and "mentions" in e for e in r["entities"])
+
+
+# --- T5 skew smoke ----------------------------------------------------------
+def test_salted_repartition_bounds_skew(spark):
+    from jerex_spark.pipeline import salted_repartition
+    # hot host: 80% of keys share a prefix (host/lang skew axis)
+    rows = [(f"https://hot.example.io/p/{i}" if i % 5 != 4
+             else f"https://cold{i}.org/p/{i}", "x") for i in range(4000)]
+    df = salted_repartition(
+        spark.createDataFrame(rows, ["doc_key", "text"]))
+    sizes = [r.n for r in
+             df.groupBy(F.spark_partition_id().alias("p"))
+             .agg(F.count("*").alias("n")).collect()]
+    assert max(sizes) <= 3 * (sum(sizes) / len(sizes))
