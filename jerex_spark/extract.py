@@ -157,17 +157,19 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
 
     # C1 clustering + A2/F4 entity pooling/typing (batch matmul)
     ent_reprs_acc = []
+    ent_off = 0
     for st in docs:
         nm = len(st["mentions"])
         dist = np.zeros((nm, nm), dtype=np.float32)
-        k = st["cor_off"]
-        for i in range(nm):
-            for j in range(i + 1, nm):
-                dist[i, j] = 1.0 - cor_sims[k]
-                k += 1
+        if nm > 1:
+            k = st["cor_off"]
+            n_pairs = nm * (nm - 1) // 2
+            iu = np.triu_indices(nm, 1)
+            dist[iu] = 1.0 - cor_sims[k:k + n_pairs]
         clusters = complete_linkage(dist, 1.0 - cfg.coref_threshold)
         st["clusters"] = clusters
-        st["ent_off"] = sum(len(x) for x in ent_reprs_acc)
+        st["ent_off"] = ent_off
+        ent_off += len(clusters)
         for c in clusters:
             ent_reprs_acc.append(st["mrepr"][c].max(axis=0, keepdims=True))
     if ent_reprs_acc:

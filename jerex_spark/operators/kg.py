@@ -50,9 +50,39 @@ def kg_doc_stats(spark, sf_dir):
         F.size("triples").alias("n_triples"))
 
 
+def kg_token_stats(spark, sf_dir):
+    """Token/span counts from INSIDE the extract UDF — oracle-checked
+    against the SQL closed form, so the mapInPandas tokenization path
+    itself is cross-engine verified (the driver's only view into the
+    UDF black box)."""
+    graph = build_graph(load_documents(spark, sf_dir), DEFAULT)
+    return graph.select("doc_key",
+                        F.col("n_tokens").cast("long").alias("n_tokens"),
+                        F.col("n_spans").cast("long").alias("n_spans"))
+
+
+# documents at this corpus have no sentence punctuation and are single-
+# spaced, so tokens = whitespace split and the span closed form applies
+# (capped at max_spans_per_doc)
+KG_TOKEN_STATS_SQL = f"""
+WITH t AS (
+  SELECT source || '/' || doc_id AS doc_key,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents)
+SELECT doc_key, n_tokens,
+       least(CAST(least({DEFAULT.max_span_size}, n_tokens)
+                  * (n_tokens + 1)
+                - least({DEFAULT.max_span_size}, n_tokens)
+                  * (least({DEFAULT.max_span_size}, n_tokens) + 1) / 2
+             AS BIGINT), {DEFAULT.max_spans_per_doc}) AS n_spans
+FROM t
+"""
+
+
 QUERIES = {
     "kg_triples": (kg_triples, None),
     "kg_mentions": (kg_mentions, None),
     "kg_entities": (kg_entities, None),
     "kg_doc_stats": (kg_doc_stats, None),
+    "kg_token_stats": (kg_token_stats, KG_TOKEN_STATS_SQL),
 }

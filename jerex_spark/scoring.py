@@ -187,8 +187,27 @@ def token_distance(first_end: int, second_start: int) -> int:
     return max(0, second_start - first_end)
 
 
+_ED_CACHE: dict[tuple[str, str], int] = {}
+_ED_CACHE_MAX = 1 << 18
+
+
 def edit_distance(a: str, b: str) -> int:
-    """J2: plain DP Levenshtein (semantics of ref jerex/util.py:93-106)."""
+    """J2: plain DP Levenshtein (semantics of ref jerex/util.py:93-106).
+
+    Memoized per process: mention phrases repeat heavily across a web
+    corpus, so the hit rate is high and the cache is value-transparent.
+    """
+    key = (a, b)
+    hit = _ED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    d = _edit_distance_raw(a, b)
+    if len(_ED_CACHE) < _ED_CACHE_MAX:
+        _ED_CACHE[key] = d
+    return d
+
+
+def _edit_distance_raw(a: str, b: str) -> int:
     if a == b:
         return 0
     la, lb = len(a), len(b)

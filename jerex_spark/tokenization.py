@@ -44,13 +44,27 @@ def piece_id(piece: str, cfg: PipelineConfig = DEFAULT) -> int:
     )
 
 
+_TOK_CACHE: dict[str, list[int]] = {}
+_TOK_CACHE_MAX = 1 << 18
+
+
 def encode_token(token: str, cfg: PipelineConfig = DEFAULT) -> list[int]:
-    """Sub-word ids for one token; [UNK] fallback for empty encodings."""
+    """Sub-word ids for one token; [UNK] fallback for empty encodings.
+
+    Memoized per process (web-corpus token distributions are Zipfian,
+    so the hit rate is high); value-transparent."""
+    hit = _TOK_CACHE.get(token)
+    if hit is not None:
+        return hit
     if not token:
-        return [cfg.unk_id]
-    k = cfg.subword_chunk
-    ids = [piece_id(token[i:i + k], cfg) for i in range(0, len(token), k)]
-    return ids or [cfg.unk_id]
+        ids = [cfg.unk_id]
+    else:
+        k = cfg.subword_chunk
+        ids = [piece_id(token[i:i + k], cfg)
+               for i in range(0, len(token), k)] or [cfg.unk_id]
+    if len(_TOK_CACHE) < _TOK_CACHE_MAX:
+        _TOK_CACHE[token] = ids
+    return ids
 
 
 def split_sentences(text: str) -> list[list[str]]:
