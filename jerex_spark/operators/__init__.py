@@ -12,9 +12,9 @@ from __future__ import annotations
 
 
 def all_queries():
-    from . import dedup, kg, relational, similarity, textops
+    from . import canon, dedup, kg, relational, similarity, textops
     out = {}
-    for mod in (relational, textops, dedup, similarity, kg):
+    for mod in (relational, textops, dedup, similarity, kg, canon):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
