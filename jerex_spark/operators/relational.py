@@ -228,6 +228,46 @@ HAVING CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
 """
 
 
+# --- as-of join: latest click at-or-before each error, per user --------
+# Spark lacks a native as-of join; the scalable pattern is union both
+# sides and take last-non-null over an ordered per-key window — one
+# shuffle on the key, no range cross-join.
+def asof_click_before_error(spark, sf_dir):
+    from pyspark.sql.window import Window
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").alias("epoch"))
+    u = e.select(
+        "event_id", "user_id", "epoch",
+        F.when(F.col("event_type") == "click", F.col("epoch"))
+        .alias("click_epoch"),
+        F.col("event_type").alias("kind"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("epoch", "kind", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = u.withColumn("last_click_epoch",
+                     F.last("click_epoch", ignorenulls=True).over(w))
+    return (u.filter(F.col("kind") == "error")
+            .select("event_id", "user_id", "epoch", "last_click_epoch"))
+
+
+ASOF_SQL = """
+WITH u AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+         CASE WHEN event_type = 'click'
+              THEN CAST(floor(epoch(ts)) AS BIGINT) END AS click_epoch,
+         event_type AS kind
+  FROM events)
+SELECT event_id, user_id, epoch, last_click_epoch FROM (
+  SELECT event_id, user_id, epoch, kind,
+         last_value(click_epoch IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_click_epoch
+  FROM u) WHERE kind = 'error'
+"""
+
+
 # --- streaming-shaped tumbling window rollup (batch formulation) -------
 def events_tumbling(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
@@ -301,4 +341,5 @@ QUERIES = {
     "tpch_q1": (tpch_q1, TPCH_Q1_SQL),
     "join_agg_revenue": (join_agg_revenue, JOIN_AGG_SQL),
     "events_tumbling": (events_tumbling, EVENTS_TUMBLING_SQL),
+    "asof_click_before_error": (asof_click_before_error, ASOF_SQL),
 }

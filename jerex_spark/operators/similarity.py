@@ -123,7 +123,62 @@ FROM buck GROUP BY bucket
 """
 
 
+# --- IVF: KMeans coarse quantizer + nprobe search (scale path) ----------
+N_CELLS = 16
+N_PROBE = 4
+
+
+def ivf_topk(spark, sf_dir, top_k: int = TOP_K,
+             n_queries: int = N_QUERIES):
+    """Inverted-file ANN: cluster vectors into N_CELLS with MLlib
+    KMeans (seeded — deterministic), assign every vector to its cell,
+    then search each query only in its N_PROBE nearest cells.  At
+    corpus scale the cell assignment is the partition/bucket key, so
+    the search is an equi-join instead of a cross join.  Approximate
+    by construction -> rows-only check; recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql.window import Window
+
+    emb = _with_norm(_emb(spark, sf_dir)).withColumn(
+        "features", array_to_vector("vec"))
+    km = KMeans(k=N_CELLS, seed=42, featuresCol="features",
+                predictionCol="cell")
+    model = km.fit(emb)
+    assigned = model.transform(emb).select("vec_id", "vec", "norm", "cell")
+
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in
+         enumerate(model.clusterCenters())], ["cell", "cvec"])
+    q = (assigned.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")))
+    # top-nprobe cells per query by euclidean distance to centroid
+    qc = q.crossJoin(F.broadcast(centers)).withColumn(
+        "dist", F.expr(
+            "aggregate(zip_with(qvec, cvec, (x, y) -> (x - y) * (x - y)),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"))
+    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probes = (qc.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= N_PROBE)
+              .select("query_id", "qvec", "qnorm", "cell"))
+    cand = (probes.join(assigned, "cell")
+            .filter(F.col("vec_id") != F.col("query_id")))
+    cos = F.expr(_DOT.format(a="qvec", b="vec")) / (
+        F.col("qnorm") * F.col("norm"))
+    ranked = cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                         F.round(cos, 6).alias("cos6"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos6").desc(), F.col("neighbor_id"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos6", 4).alias("cos"), "rank"))
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "lsh_bucket_ann": (lsh_bucket_ann, LSH_BUCKET_SQL),
+    "ivf_topk": (ivf_topk, None),   # approximate by construction
 }

@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the plans Catalyst actually produces are
+the plans a 100 TB run needs — filters reach the parquet scan, column
+pruning holds, small dims broadcast, bucketed joins don't shuffle, and
+the extract stage contains exactly one (intentional, salted) exchange.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf001):
+    li = spark.read.parquet(f"{sf001}/lineitem.parquet")
+    q = (li.filter(F.col("l_returnflag") == "R")
+         .select("l_orderkey", "l_quantity"))
+    plan = q.queryExecution if False else q._jdf.queryExecution()
+    scan = plan.executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_returnflag), " \
+           "EqualTo(l_returnflag,R)]" in scan
+    # pruned read schema: only the 3 needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double," \
+           "l_returnflag:string>" in scan
+
+
+def test_small_dim_join_broadcasts(spark, sf001):
+    from jerex_spark.operators.relational import join_agg_revenue
+    plan = _plan(join_agg_revenue(spark, sf001))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_extract_pipeline_single_exchange(spark, sf001):
+    from jerex_spark.pipeline import flagship_triples
+    plan = _plan(flagship_triples(spark, sf001))
+    # exactly one exchange: the deliberate salted repartition
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges == 1, plan
+    assert "xxhash64" in plan          # the salt hash
+
+
+def test_bucketed_join_no_shuffle(spark, sf001, tmp_path):
+    """Pre-bucketing both sides on the join key removes the exchange —
+    the co-located-join strategy for repeated big-big joins at scale."""
+    orders = spark.read.parquet(f"{sf001}/orders.parquet")
+    cust = spark.read.parquet(f"{sf001}/customer.parquet")
+    (orders.write.mode("overwrite").bucketBy(8, "o_custkey")
+     .sortBy("o_custkey").saveAsTable("orders_b"))
+    (cust.write.mode("overwrite").bucketBy(8, "c_custkey")
+     .sortBy("c_custkey").saveAsTable("customer_b"))
+    try:
+        j = (spark.table("orders_b")
+             .join(spark.table("customer_b"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_mktsegment").count())
+        plan = _plan(j)
+        # no shuffle before the join itself (the agg may exchange)
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_aqe_coalesces_small_shuffle(spark, sf001):
+    li = spark.read.parquet(f"{sf001}/lineitem.parquet")
+    out = (li.groupBy("l_partkey")
+           .agg(F.sum("l_quantity").alias("q"))
+           .groupBy().agg(F.max("q")))
+    out.collect()
+    plan = _plan(out)
+    assert "AQEShuffleRead" in plan or "CustomShuffleReader" in plan, plan

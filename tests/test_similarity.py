@@ -1,0 +1,44 @@
+"""IVF ANN quality (recall vs brute force) and streaming stateful
+dedup (dropDuplicates under readStream — built-in stateful operator).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jerex_spark.operators.similarity import ann_cosine_topk, ivf_topk
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf001):
+    exact = {(r.query_id, r.neighbor_id)
+             for r in ann_cosine_topk(spark, sf001).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(spark, sf001).collect()}
+    assert approx, "ivf returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@5 {recall:.2f}"
+
+
+def test_ivf_deterministic(spark, sf001):
+    a = sorted(map(tuple, ivf_topk(spark, sf001).collect()))
+    b = sorted(map(tuple, ivf_topk(spark, sf001).collect()))
+    assert a == b
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """Exact-dedup as a stateful streaming op: duplicate doc_keys
+    across microbatches are dropped by state, not within-batch luck."""
+    src = str(tmp_path / "dup_in")
+    rows = [(f"d{i % 40}", f"text {i % 40}") for i in range(200)]
+    (spark.createDataFrame(rows, ["doc_key", "text"])
+     .repartition(10).write.parquet(src))
+    stream = (spark.readStream.schema("doc_key string, text string")
+              .option("maxFilesPerTrigger", "2").parquet(src))
+    q = (stream.dropDuplicates(["doc_key"])
+         .writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select doc_key from dedup_stream").collect()
+    keys = [r.doc_key for r in got]
+    assert len(keys) == 40 and len(set(keys)) == 40
