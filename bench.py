@@ -30,10 +30,13 @@ BENCH_QUERIES = (
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "ann_cosine_topk",
+    "ivf_topk",
+    "canon_gazetteer",
     "simhash32",
     "dedup_exact",
     "tpch_q1",
     "join_agg_revenue",
+    "asof_click_before_error",
 )
 
 

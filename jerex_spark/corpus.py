@@ -100,5 +100,8 @@ def extract_text_series(s: pd.Series) -> pd.Series:
 
 
 def write_pages_parquet(path: str, n: int) -> None:
+    # microsecond timestamps: Spark's parquet reader rejects
+    # TIMESTAMP(NANOS) that pandas writes by default
     df = make_pages(n)
-    df.to_parquet(path, index=False)
+    df.to_parquet(path, index=False, coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
