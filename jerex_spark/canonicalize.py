@@ -63,7 +63,10 @@ def canonicalize_entities(entities: DataFrame, alias_dict: DataFrame,
 
     alias_dict is broadcast; entities keep all their columns.
     """
-    ents = entities.withColumn("norm", normalize_phrase(F.col(phrase_col)))
+    # ents feeds both the exact-hit branch and the miss branch; without
+    # a cache Spark recomputes the upstream plan for each
+    ents = entities.withColumn(
+        "norm", normalize_phrase(F.col(phrase_col))).persist()
     dict_n = (alias_dict
               .withColumn("alias_norm", normalize_phrase(F.col("alias")))
               .select("alias_norm", "canonical_id").distinct())

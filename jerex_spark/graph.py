@@ -95,6 +95,36 @@ def export_predictions_json(graph: DataFrame, path: str) -> None:
      .write.mode("overwrite").json(path))
 
 
+def export_examples_html(graph: DataFrame, path: str,
+                         limit: int = 25) -> None:
+    """S8: small sampled HTML visualization of extractions (the shape
+    of the reference's examples.html sink, ref joint_evaluator.py:
+    137-180) — a debug artifact rendered from a bounded sample, never
+    on the scale path.  No template engine: plain string rendering."""
+    import html as _html
+    rows = (graph.filter(F.size("triples") > 0)
+            .select("doc_key", "mentions", "entities", "triples")
+            .limit(limit).collect())
+    parts = ["<html><head><meta charset='utf-8'>"
+             "<title>extraction examples</title></head><body>"]
+    for r in rows:
+        parts.append(f"<h3>{_html.escape(r.doc_key)}</h3><ul>")
+        ments = {m.mention_idx: m for m in r.mentions}
+        for e in r.entities:
+            surf = ", ".join(_html.escape(ments[i].phrase)
+                             for i in e.mention_idxs)
+            parts.append(
+                f"<li>E{e.entity_idx} <b>{e.type}</b>: {surf}</li>")
+        for t in r.triples:
+            parts.append(
+                f"<li>(E{t.head_idx}) -[{_html.escape(t.rel_type)}"
+                f" {t.score:.2f}]-> (E{t.tail_idx})</li>")
+        parts.append("</ul>")
+    parts.append("</body></html>")
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+
+
 def write_graph(out_dir: str, canon_triples: DataFrame,
                 canon_ents: DataFrame, edge_df: DataFrame) -> None:
     (canon_triples.repartition("rel_type")

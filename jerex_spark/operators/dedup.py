@@ -75,7 +75,12 @@ def minhash_lsh_pairs(spark, sf_dir):
            .select("doc_id", "hash_id",
                    F.md5(F.concat_ws("|", F.col("hash_id").cast("string"),
                                      F.col("shingle"))).alias("h"))
-           .groupBy("doc_id", "hash_id").agg(F.min("h").alias("sig")))
+           .groupBy("doc_id", "hash_id").agg(F.min("h").alias("sig"))
+           # the self-join would otherwise recompute the whole
+           # shingle->hash->min pipeline for each side (Spark has no
+           # CSE across self-joins); signatures are tiny (n_docs x
+           # N_HASHES rows), so cache them
+           .persist())
     a = sig.select(F.col("doc_id").alias("doc_a"), "hash_id", "sig")
     b = sig.select(F.col("doc_id").alias("doc_b"), "hash_id", "sig")
     return (a.join(b, ["hash_id", "sig"])
@@ -99,7 +104,8 @@ FROM sig a JOIN sig b
 
 # --- exact n-gram Jaccard for candidate pairs ----------------------------
 def ngram_jaccard(spark, sf_dir):
-    sh = _shingles(spark, sf_dir)
+    # used three times below (counts + both join sides): cache
+    sh = _shingles(spark, sf_dir).persist()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -136,8 +142,50 @@ WHERE ROUND(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 4) >= 0.1
 """
 
 
+# --- block -> verify composition: exact Jaccard only on LSH candidates --
+# This is the production near-dup shape at corpus scale: the shingle
+# self-join in ngram_jaccard is O(pairs sharing any shingle) and blows
+# up on common shingles; gating on MinHash candidates keeps the verify
+# stage O(near-dups).
+def dedup_lsh_verified(spark, sf_dir, threshold: float = 0.5):
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    jac = ngram_jaccard(spark, sf_dir)
+    return (cand.join(jac, ["doc_a", "doc_b"])
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+DEDUP_VERIFIED_SQL = f"""
+WITH {_SHINGLES_SQL},
+sig AS (
+  SELECT doc_id, h.hash_id,
+         MIN(md5(CAST(h.hash_id AS VARCHAR) || '|' || shingle)) AS sig
+  FROM shingles,
+       (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS hash_id) h
+  GROUP BY doc_id, h.hash_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.hash_id = b.hash_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       ROUND(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 4) AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN counts ca ON ca.doc_id = c.doc_a
+JOIN counts cb ON cb.doc_id = c.doc_b
+WHERE ROUND(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 4) >= 0.5
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_lsh_verified": (dedup_lsh_verified, DEDUP_VERIFIED_SQL),
 }

@@ -89,3 +89,11 @@ def test_media_empty_payload_raises_cleanly(spark):
         "doc_key string, media_idx int, kind string, payload binary")
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         media_features(media).collect()
+
+
+def test_examples_html_sink(spark, pages_graph, tmp_path):
+    from jerex_spark.graph import export_examples_html
+    out = str(tmp_path / "examples.html")
+    export_examples_html(pages_graph, out, limit=5)
+    html = open(out).read()
+    assert html.startswith("<html>") and "-[" in html and "<b>" in html
