@@ -40,6 +40,26 @@ def salted_repartition(df: DataFrame, key: str = "doc_key",
     return df.repartition(n, F.xxhash64(F.col(key), F.lit(cfg.weight_seed)))
 
 
+def cost_balanced_repartition(df: DataFrame, cost: "F.Column",
+                              n: int | None = None) -> DataFrame:
+    """Straggler-defeating repartition for heavy-tailed per-row cost
+    (SURVEY.md §4 item 3: long docs cost ~quadratically more in the
+    extract UDF).  Rows are ranked by descending cost and dealt
+    round-robin across partitions, so every partition gets the same
+    cost profile — a hash repartition can land several giants in one
+    task.  One extra shuffle; use for corpora with heavy length tails
+    (the per-doc span/mention caps bound the worst case regardless)."""
+    from pyspark.sql.window import Window
+    n = n or df.sparkSession.sparkContext.defaultParallelism * 2
+    ranked = df.withColumn(
+        "_rank", F.row_number().over(Window.orderBy(cost.desc())))
+    # range-partition on the round-robin slot: exactly one slot value
+    # per partition (hash would collide slots)
+    return (ranked.withColumn("_slot", F.pmod(F.col("_rank"), F.lit(n)))
+            .repartitionByRange(n, F.col("_slot"))
+            .drop("_rank", "_slot"))
+
+
 def build_graph(documents: DataFrame,
                 cfg: PipelineConfig = DEFAULT) -> DataFrame:
     """documents(doc_key, text, ...) -> persisted nested doc-graph."""

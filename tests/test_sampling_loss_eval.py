@@ -162,3 +162,17 @@ def test_salted_repartition_bounds_skew(spark):
              df.groupBy(F.spark_partition_id().alias("p"))
              .agg(F.count("*").alias("n")).collect()]
     assert max(sizes) <= 3 * (sum(sizes) / len(sizes))
+
+
+def test_cost_balanced_repartition(spark):
+    from jerex_spark.pipeline import cost_balanced_repartition
+    # heavy tail: a few giant docs, many small ones
+    rows = [(f"d{i}", 10000 if i < 8 else 10) for i in range(800)]
+    df = spark.createDataFrame(rows, ["doc_key", "cost"])
+    out = cost_balanced_repartition(df, F.col("cost"), n=8)
+    per = (out.groupBy(F.spark_partition_id().alias("p"))
+           .agg(F.sum("cost").alias("c")).collect())
+    costs = sorted(r.c for r in per)
+    assert len(costs) == 8
+    # every partition gets exactly one giant: near-equal cost
+    assert costs[-1] <= 1.2 * costs[0]
