@@ -277,8 +277,47 @@ FROM documents
 """
 
 
+# --- J1/J2/F10 relational form: coref candidate pairs over gazetteer
+#     mentions with token-distance and edit-distance features ------------
+_GAZ = ("scan", "join", "merge", "stream", "window")
+
+
+def j1_coref_pairs_rel(spark, sf_dir):
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", F.posexplode(_toks())
+                    .alias("tok_idx", "phrase"))
+            .filter(F.col("phrase").isin(*_GAZ)))
+    a = toks.select("doc_id", F.col("tok_idx").alias("i1"),
+                    F.col("phrase").alias("p1"))
+    b = toks.select("doc_id", F.col("tok_idx").alias("i2"),
+                    F.col("phrase").alias("p2"))
+    return (a.join(b, "doc_id")
+            .filter(F.col("i1") < F.col("i2"))
+            .select("doc_id", "i1", "i2", "p1", "p2",
+                    # F10: max(0, second.start - first.end), size-1 spans
+                    F.greatest(F.lit(0), F.col("i2") - F.col("i1") - 1)
+                    .alias("tok_dist"),
+                    F.levenshtein("p1", "p2").alias("edit_dist")))
+
+
+J1_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS tok_idx,
+         unnest(string_split(text, ' ')) AS phrase
+  FROM documents),
+m AS (SELECT * FROM toks WHERE phrase IN {_GAZ})
+SELECT a.doc_id, a.tok_idx AS i1, b.tok_idx AS i2,
+       a.phrase AS p1, b.phrase AS p2,
+       greatest(0, b.tok_idx - a.tok_idx - 1) AS tok_dist,
+       levenshtein(a.phrase, b.phrase) AS edit_dist
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.tok_idx < b.tok_idx
+"""
+
+
 QUERIES = {
     "p1_span_candidates": (p1_span_candidates, P1_COUNT_SQL),
+    "j1_coref_pairs_rel": (j1_coref_pairs_rel, J1_SQL),
     "p1_spans_rel": (p1_spans_rel, P1_SPANS_SQL),
     "tokens_flat": (tokens_flat, TOKENS_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

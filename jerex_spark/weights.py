@@ -66,6 +66,25 @@ class SurrogateWeights:
 
 _CACHE: dict[int, SurrogateWeights] = {}
 
+_FIELDS = [f for f in SurrogateWeights.__dataclass_fields__]
+
+
+def save_weights(w: SurrogateWeights, path: str) -> None:
+    """Persist the artifact as .npz — the versioned weight file a real
+    deployment ships (a trained JEREX checkpoint exported to these
+    arrays drops in here with no code change)."""
+    np.savez(path, **{f: np.asarray(getattr(w, f)) for f in _FIELDS})
+
+
+def load_weights_npz(path: str) -> SurrogateWeights:
+    """Load a weight artifact from file (counterpart of save_weights)."""
+    z = np.load(path)
+    kw = {}
+    for f in _FIELDS:
+        a = z[f]
+        kw[f] = float(a) if a.ndim == 0 else a.astype(np.float32)
+    return SurrogateWeights(**kw)
+
 
 def load_weights(cfg: PipelineConfig = DEFAULT) -> SurrogateWeights:
     """Build (and memoize) the frozen artifact for ``cfg.weight_seed``."""

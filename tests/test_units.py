@@ -124,3 +124,22 @@ def test_weights_frozen_across_loads():
     b = load_weights(cfg)
     np.testing.assert_array_equal(a.men_w1, b.men_w1)
     np.testing.assert_array_equal(a.rel_w2, b.rel_w2)
+
+
+def test_weight_artifact_roundtrip(tmp_path):
+    """The frozen artifact survives a save/load through .npz — swapping
+    in real checkpoint weights is a file change, not a code change."""
+    from jerex_spark import scoring
+    from jerex_spark.weights import load_weights_npz, save_weights
+    w = load_weights(cfg)
+    p = str(tmp_path / "artifact.npz")
+    save_weights(w, p)
+    w2 = load_weights_npz(p)
+    np.testing.assert_array_equal(w.men_w1, w2.men_w1)
+    np.testing.assert_array_equal(w.rel_b2, w2.rel_b2)
+    assert w.men_b2 == w2.men_b2
+    x = np.random.default_rng(1).random((7, cfg.hidden_size),
+                                        dtype=np.float32)
+    s = np.ones(7, dtype=int)
+    np.testing.assert_array_equal(scoring.mention_logits(x, s, w),
+                                  scoring.mention_logits(x, s, w2))
