@@ -65,3 +65,21 @@ def test_pages_mention_parity_with_sentences(spark_graph, golden):
     gold_m = {(k, m["start"], m["end"], m["sent_idx"])
               for k, res in golden.items() for m in res.mentions}
     assert spark_m == gold_m
+
+
+def test_cap_path_parity(spark):
+    """Documents dense enough to exceed max_mentions_per_doc exercise
+    the score-ordered cap + tie-break identically on both sides."""
+    texts = {
+        f"cap/{i}": " ".join(f"tok{(j + i) % 7}" for j in range(1500))
+        for i in range(4)}
+    golden = {k: run_document(k, t) for k, t in texts.items()}
+    assert any(len(r.mentions) == 128 for r in golden.values()), \
+        "fixture does not hit the cap"
+    pdf_rows = [(k, t) for k, t in texts.items()]
+    g = extract_graph(spark.createDataFrame(pdf_rows, ["doc_key", "text"]))
+    spark_m = {(r.doc_key, r.start, r.end, round(r.score, 4))
+               for r in kg_tables(g)["mentions"].collect()}
+    gold_m = {(k, m["start"], m["end"], round(m["score"], 4))
+              for k, res in golden.items() for m in res.mentions}
+    assert spark_m == gold_m
