@@ -64,12 +64,47 @@ def canonical_triples(triples: DataFrame,
                  F.countDistinct("doc_key").alias("n_docs")))
 
 
-def canonical_entity_table(canon_entities: DataFrame) -> DataFrame:
-    return (canon_entities.groupBy("canonical_id")
-            .agg(F.min("type").alias("type"),
-                 F.countDistinct("doc_key").alias("n_docs"),
-                 F.count("*").alias("n_clusters"),
-                 F.array_sort(F.collect_set("phrase")).alias("surfaces")))
+def salted_two_phase(df: DataFrame, keys: list[str], partials: list,
+                     finals: list, n_salt: int = 64) -> DataFrame:
+    """Two-phase aggregation with an explicit salt for skewed keys
+    (north rule: hot canonical entities — countries, famous people —
+    concentrate a naive groupBy into one reducer).  Phase 1 groups by
+    (keys, salt) so a hot key spreads over ``n_salt`` reducers; phase 2
+    merges the per-salt partials.  The salt is a deterministic hash of
+    all columns, so re-runs are stable.
+
+    ``partials``: aggregate columns for phase 1 (aliased);
+    ``finals``: merge expressions over those aliases for phase 2.
+    """
+    all_cols = [F.col(c) for c in df.columns]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*all_cols), F.lit(n_salt)))
+    p1 = salted.groupBy(*keys, "_salt").agg(*partials)
+    return p1.groupBy(*keys).agg(*finals)
+
+
+def canonical_entity_table(canon_entities: DataFrame,
+                           n_salt: int = 64) -> DataFrame:
+    """Per-canonical-entity rollup via salted two-phase aggregation
+    (countDistinct realized as a distinct-set union merge)."""
+    return salted_two_phase(
+        canon_entities.select("canonical_id", "type", "doc_key", "phrase"),
+        keys=["canonical_id"],
+        partials=[
+            F.min("type").alias("_type"),
+            F.collect_set("doc_key").alias("_docs"),
+            F.count("*").alias("_n"),
+            F.collect_set("phrase").alias("_surfaces"),
+        ],
+        finals=[
+            F.min("_type").alias("type"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("_docs"))))
+            .alias("n_docs"),
+            F.sum("_n").alias("n_clusters"),
+            F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("_surfaces")))).alias("surfaces"),
+        ],
+        n_salt=n_salt)
 
 
 def edges(canon_triples: DataFrame) -> DataFrame:

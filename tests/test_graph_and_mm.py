@@ -97,3 +97,23 @@ def test_examples_html_sink(spark, pages_graph, tmp_path):
     export_examples_html(pages_graph, out, limit=5)
     html = open(out).read()
     assert html.startswith("<html>") and "-[" in html and "<b>" in html
+
+
+def test_salted_two_phase_agg_matches_direct(spark):
+    from jerex_spark.graph import salted_two_phase
+    # hot key: 90% of rows share one canonical id
+    rows = [("QHOT" if i % 10 != 9 else f"Q{i}", f"d{i % 50}",
+             float(i % 7)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "doc", "v"])
+    got = {(r.k, r.n, round(r.s, 4), r.nd) for r in salted_two_phase(
+        df, keys=["k"],
+        partials=[F.count("*").alias("_n"), F.sum("v").alias("_s"),
+                  F.collect_set("doc").alias("_d")],
+        finals=[F.sum("_n").alias("n"), F.round(F.sum("_s"), 4).alias("s"),
+                F.size(F.array_distinct(F.flatten(F.collect_list("_d"))))
+                .alias("nd")]).collect()}
+    want = {(r.k, r.n, round(r.s, 4), r.nd) for r in
+            df.groupBy("k").agg(
+                F.count("*").alias("n"), F.round(F.sum("v"), 4).alias("s"),
+                F.countDistinct("doc").alias("nd")).collect()}
+    assert got == want
