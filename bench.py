@@ -29,8 +29,10 @@ BENCH_QUERIES = (
     "kg_triples",
     "minhash_lsh_pairs",
     "ngram_jaccard",
+    "dedup_lsh_verified",
     "ann_cosine_topk",
     "ivf_topk",
+    "lsh_topk",
     "canon_gazetteer",
     "simhash32",
     "dedup_exact",
@@ -45,6 +47,7 @@ def _count(df) -> int:
 
 
 def run_suite(spark, sf_dir):
+    from jerex_spark.caching import release_persisted
     from jerex_spark.operators import all_queries
     qs = all_queries()
     timings = {}
@@ -54,6 +57,7 @@ def run_suite(spark, sf_dir):
         t0 = time.time()
         rows[name] = _count(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        release_persisted()
     return timings, rows
 
 

@@ -56,61 +56,80 @@ def _minhash_sigs(df: DataFrame, text_col: str, id_cols: list[str]):
             .groupBy(*id_cols, "hash_id").agg(F.min("h").alias("sig")))
 
 
-def canonicalize_entities(entities: DataFrame, alias_dict: DataFrame,
-                          phrase_col: str = "phrase") -> DataFrame:
-    """entities(doc_key, entity_idx, <phrase_col>, ...) x
-    alias_dict(alias, canonical_id) -> + (canonical_id, match_kind).
+def canonicalize_form_verdicts(forms: DataFrame,
+                               alias_dict: DataFrame) -> DataFrame:
+    """forms(norm) x alias_dict(alias, canonical_id) ->
+    (norm, canonical_id, match_kind) — one verdict per distinct
+    normalized surface form.
 
-    alias_dict is broadcast; entities keep all their columns.
+    The whole alias/LSH/verify machinery depends only on the surface
+    form, never on which document mentioned it — so it runs over the
+    *vocabulary* (sublinear in mention instances by Zipf), not per
+    mention instance.  The instance table only pays one equi-join to
+    pick up its verdict (canonicalize_entities below).
     """
-    # ents feeds both the exact-hit branch and the miss branch; without
-    # a cache Spark recomputes the upstream plan for each
-    ents = entities.withColumn(
-        "norm", normalize_phrase(F.col(phrase_col))).persist()
+    # one canonical_id per alias_norm: two dictionary rows normalizing
+    # to the same surface ('Acme  Corp'/Q1, 'acme corp'/Q2) must not
+    # fan out entity rows — deterministic min() tie-break, matching the
+    # LSH branch's (ratio, canonical_id) ordering
     dict_n = (alias_dict
               .withColumn("alias_norm", normalize_phrase(F.col("alias")))
-              .select("alias_norm", "canonical_id").distinct())
+              .groupBy("alias_norm")
+              .agg(F.min("canonical_id").alias("canonical_id")))
 
-    # 1) exact broadcast join
-    exact = ents.join(F.broadcast(dict_n),
-                      ents.norm == dict_n.alias_norm, "left")
-    hits = (exact.filter(F.col("canonical_id").isNotNull())
-            .drop("alias_norm")
-            .withColumn("match_kind", F.lit("exact")))
-    misses = (exact.filter(F.col("canonical_id").isNull())
-              .drop("alias_norm", "canonical_id"))
+    # 1) exact broadcast join at the form level
+    exact = forms.join(F.broadcast(dict_n),
+                       forms.norm == dict_n.alias_norm, "left")
+    hit_forms = (exact.filter(F.col("canonical_id").isNotNull())
+                 .select("norm", "canonical_id",
+                         F.lit("exact").alias("match_kind")))
+    miss_forms = exact.filter(F.col("canonical_id").isNull()).select("norm")
 
-    # 2) LSH blocking for the misses
-    miss_keys = misses.select("doc_key", "entity_idx", "norm").distinct()
-    ent_sig = _minhash_sigs(miss_keys, "norm",
-                            ["doc_key", "entity_idx", "norm"])
+    # 2) LSH blocking for the miss forms
+    ent_sig = _minhash_sigs(miss_forms, "norm", ["norm"])
     dict_sig = _minhash_sigs(dict_n.withColumnRenamed("alias_norm", "a"),
                              "a", ["a", "canonical_id"])
     cand = (ent_sig.join(dict_sig, ["hash_id", "sig"])
-            .select("doc_key", "entity_idx", "norm", "a", "canonical_id")
+            .select("norm", "a", "canonical_id")
             .distinct())
     verified = (cand
                 .withColumn("ed", F.levenshtein("norm", "a"))
                 .withColumn("ratio", F.col("ed") / F.greatest(
                     F.length("norm"), F.length("a")))
                 .filter(F.col("ratio") <= MAX_ED_RATIO))
-    # best alias per entity: lowest (ratio, canonical_id) — deterministic
+    # best alias per form: lowest (ratio, canonical_id) — deterministic
     from pyspark.sql.window import Window
-    w = Window.partitionBy("doc_key", "entity_idx").orderBy(
+    w = Window.partitionBy("norm").orderBy(
         F.col("ratio"), F.col("canonical_id"))
     best = (verified.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("doc_key", "entity_idx",
-                    F.col("canonical_id").alias("lsh_canonical_id")))
+            .select("norm", F.col("canonical_id").alias("lsh_canonical_id")))
 
-    fuzzy = (misses.join(best, ["doc_key", "entity_idx"], "left")
-             .withColumn(
-                 "canonical_id",
-                 F.coalesce(F.col("lsh_canonical_id"),
-                            F.concat(F.lit("self:"), F.md5("norm"))))
-             .withColumn(
-                 "match_kind",
-                 F.when(F.col("lsh_canonical_id").isNotNull(), "lsh")
-                 .otherwise(F.lit("self")))
-             .drop("lsh_canonical_id"))
-    return hits.unionByName(fuzzy).drop("norm")
+    fuzzy = (miss_forms.join(best, "norm", "left")
+             .select("norm",
+                     F.coalesce(F.col("lsh_canonical_id"),
+                                F.concat(F.lit("self:"), F.md5("norm")))
+                     .alias("canonical_id"),
+                     F.when(F.col("lsh_canonical_id").isNotNull(), "lsh")
+                     .otherwise(F.lit("self")).alias("match_kind")))
+    return hit_forms.unionByName(fuzzy)
+
+
+def canonicalize_entities(entities: DataFrame, alias_dict: DataFrame,
+                          phrase_col: str = "phrase") -> DataFrame:
+    """entities(doc_key, entity_idx, <phrase_col>, ...) x
+    alias_dict(alias, canonical_id) -> + (canonical_id, match_kind).
+
+    Runs the alias/LSH/verify stage once per DISTINCT normalized
+    surface form (canonicalize_form_verdicts), then equi-joins the
+    verdict back onto the mention instances — the vocabulary is orders
+    of magnitude smaller than the instance table on any Zipfian corpus.
+    The verdict join carries no hint: AQE broadcasts it when the
+    vocabulary is small and falls back to a shuffle join when it isn't.
+    """
+    from .caching import persist_tracked
+    ents = entities.withColumn("norm", normalize_phrase(F.col(phrase_col)))
+    # vocabulary feeds both the exact and miss branches: cache it
+    forms = persist_tracked(ents.select("norm").distinct())
+    verdict = canonicalize_form_verdicts(forms, alias_dict)
+    return ents.join(verdict, "norm").drop("norm")

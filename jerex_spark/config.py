@@ -31,6 +31,13 @@ class PipelineConfig:
     sent_dist_buckets: int = 30      # sentence-distance embedding table size
     weight_seed: int = 20210211      # frozen-artifact seed (EACL 2021 date)
 
+    # --- model variant (ref jerex/models/__init__.py:9-20 registers
+    #     'joint_multi_instance' and 'joint_global') ---
+    # "multi_instance": F5/F7/F8 mention-pair expansion + MI max-pool
+    # "global": F6/F9 entity-pair repr + linear head (the paper's
+    #           global baseline, ref joint_models.py:246-318)
+    relation_mode: str = "multi_instance"
+
     # --- per-doc cost caps, mirror ref chunking knobs (configs.py:97-130) ---
     max_spans_per_doc: int = 4096
     max_mentions_per_doc: int = 128
@@ -49,3 +56,7 @@ class PipelineConfig:
 
 
 DEFAULT = PipelineConfig()
+
+# the paper's ablation variant: global entity-pair relation head
+# (ref jerex/models/joint_models.py:246-318)
+GLOBAL = PipelineConfig(relation_mode="global")

@@ -182,13 +182,9 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         et_probs = np.zeros((0, len(cfg.entity_types)), dtype=np.float32)
         et_arg = np.zeros(0, dtype=np.int64)
 
-    # J4/J7/F7/F10/A3/A4: mention-pair features, batch-accumulated
-    mp_ctx, mp_m1, mp_m2, mp_pair, mp_td, mp_sd = [], [], [], [], [], []
-    mp_seg = []          # entity-pair segment id per mention pair
-    pair_meta = []       # (doc_i, head_entity_idx, tail_entity_idx)
-    for doc_i, st in enumerate(docs):
+    # entity materialization (shared by both relation modes)
+    for st in docs:
         clusters = st.get("clusters", [])
-        ne = len(clusters)
         st["entities"] = [{
             "entity_idx": e_i,
             "type": cfg.entity_types[int(et_arg[st["ent_off"] + e_i])],
@@ -199,6 +195,35 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
             "spans": sorted((st["mentions"][m]["start"],
                              st["mentions"][m]["end"]) for m in c),
         } for e_i, c in enumerate(clusters)]
+        st["triples"] = []
+
+    if cfg.relation_mode == "global":
+        _relations_global(docs, all_ent, et_arg, cfg, w)
+    else:
+        _relations_multi_instance(docs, all_ent, cfg, w)
+
+    return pd.DataFrame({
+        "doc_key": [st["doc_key"] for st in docs],
+        "n_tokens": [len(st["tok"].phrases) for st in docs],
+        "n_spans": [len(st["starts"]) for st in docs],
+        "mentions": [st["mentions"] for st in docs],
+        "entities": [st["entities"] for st in docs],
+        "triples": [st["triples"] for st in docs],
+    })
+
+
+def _relations_multi_instance(docs: list, all_ent: np.ndarray,
+                              cfg: PipelineConfig, w) -> None:
+    """F5/F7/F8 + A3/A4: mention-pair expansion with multi-instance
+    max-pool (ref relation_classification_multi_instance.py:59-105,
+    joint_models.py:202-244), batch-accumulated into single matmuls."""
+    d = cfg.hidden_size
+    mp_ctx, mp_m1, mp_m2, mp_pair, mp_td, mp_sd = [], [], [], [], [], []
+    mp_seg = []          # entity-pair segment id per mention pair
+    pair_meta = []       # (doc_i, head_entity_idx, tail_entity_idx)
+    for doc_i, st in enumerate(docs):
+        clusters = st.get("clusters", [])
+        ne = len(clusters)
         if ne < 2:
             continue
         h = st["h"]
@@ -225,17 +250,18 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
                         mp_m1.append(st["mrepr"][mi])
                         mp_m2.append(st["mrepr"][mj])
                         mp_pair.append(pr)
+                        # ref sampling_common.py:297-315: distance to
+                        # the first mention's LAST token (end - 1), so
+                        # adjacent mentions sit in bucket 1
                         mp_td.append(min(
                             max(0, max(A["start"], B["start"])
-                                - min(A["end"], B["end"])),
+                                - min(A["end"], B["end"]) + 1),
                             cfg.token_dist_buckets - 1))
                         mp_sd.append(min(abs(A["sent_idx"] - B["sent_idx"]),
                                          cfg.sent_dist_buckets - 1))
                         mp_seg.append(seg)
 
     # F7 + A3 + F8: batch matmuls with segment max-pool
-    for st in docs:
-        st["triples"] = []
     if pair_meta:
         mp = scoring.mention_pair_repr(
             np.stack(mp_ctx), np.stack(mp_m1), np.stack(mp_m2),
@@ -251,22 +277,54 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
             (cfg.entity_types.index(docs[di]["entities"][b]["type"])
              for di, _, b in pair_meta), int)
         rel_probs = scoring.sigmoid(scoring.relation_logits(pooled, ht, tt, w))
-        hit_pair, hit_type = np.where(rel_probs >= cfg.rel_threshold)
-        for p_i, r_i in zip(hit_pair, hit_type):
-            di, a, b = pair_meta[p_i]
-            docs[di]["triples"].append({
-                "head_idx": a, "tail_idx": b,
-                "rel_type": cfg.relation_types[r_i],
-                "score": float(rel_probs[p_i, r_i])})
+        _emit_triples(docs, pair_meta, rel_probs, cfg)
 
-    return pd.DataFrame({
-        "doc_key": [st["doc_key"] for st in docs],
-        "n_tokens": [len(st["tok"].phrases) for st in docs],
-        "n_spans": [len(st["starts"]) for st in docs],
-        "mentions": [st["mentions"] for st in docs],
-        "entities": [st["entities"] for st in docs],
-        "triples": [st["triples"] for st in docs],
-    })
+
+def _relations_global(docs: list, all_ent: np.ndarray, et_arg: np.ndarray,
+                      cfg: PipelineConfig, w) -> None:
+    """F6/F9: the 'joint_global' model variant — entity-pair repr from
+    pooled entity reprs + type embeddings, single linear relation head;
+    no mention-pair expansion (ref joint_models.py:246-318,
+    entity_pair_representation.py:6-27,
+    relation_classification_global.py:10-13; pair enumeration
+    misc.py:59-89 = all ordered pairs a != b)."""
+    g_h, g_t, g_ht, g_tt = [], [], [], []
+    pair_meta = []       # (doc_i, head_entity_idx, tail_entity_idx)
+    for doc_i, st in enumerate(docs):
+        ne = len(st.get("clusters", []))
+        if ne < 2:
+            continue
+        off = st["ent_off"]
+        pair_budget = cfg.max_rel_pairs_per_doc
+        for a in range(ne):
+            for b in range(ne):
+                if a == b:
+                    continue
+                if pair_budget <= 0:
+                    break
+                pair_budget -= 1
+                pair_meta.append((doc_i, a, b))
+                g_h.append(all_ent[off + a])
+                g_t.append(all_ent[off + b])
+                g_ht.append(int(et_arg[off + a]))
+                g_tt.append(int(et_arg[off + b]))
+    if pair_meta:
+        reprs = scoring.entity_pair_global_repr(
+            np.stack(g_h), np.stack(g_t),
+            np.asarray(g_ht), np.asarray(g_tt), w)
+        rel_probs = scoring.sigmoid(scoring.relation_logits_global(reprs, w))
+        _emit_triples(docs, pair_meta, rel_probs, cfg)
+
+
+def _emit_triples(docs: list, pair_meta: list, rel_probs: np.ndarray,
+                  cfg: PipelineConfig) -> None:
+    hit_pair, hit_type = np.where(rel_probs >= cfg.rel_threshold)
+    for p_i, r_i in zip(hit_pair, hit_type):
+        di, a, b = pair_meta[p_i]
+        docs[di]["triples"].append({
+            "head_idx": a, "tail_idx": b,
+            "rel_type": cfg.relation_types[r_i],
+            "score": float(rel_probs[p_i, r_i])})
 
 
 def extract_graph(documents: DataFrame,

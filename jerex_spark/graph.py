@@ -84,27 +84,45 @@ def salted_two_phase(df: DataFrame, keys: list[str], partials: list,
 
 
 def canonical_entity_table(canon_entities: DataFrame,
-                           n_salt: int = 64) -> DataFrame:
-    """Per-canonical-entity rollup via salted two-phase aggregation
-    (countDistinct realized as a distinct-set union merge)."""
-    return salted_two_phase(
-        canon_entities.select("canonical_id", "type", "doc_key", "phrase"),
+                           n_salt: int = 64,
+                           max_surfaces: int = 100) -> DataFrame:
+    """Per-canonical-entity rollup, safe for country-scale hot keys.
+
+    v1 merged ``collect_set(doc_key)`` partials in phase 2 — for one
+    canonical entity mentioned in 10^8 docs that is a 10^8-element set
+    on a single reducer.  Instead:
+
+    * ``n_docs`` — exact two-level count-distinct: distinct on
+      (canonical_id, doc_key) spreads a hot entity across reducers
+      because doc_key varies, then a partial-agg count per id.  No set
+      is ever materialized.
+    * ``surfaces`` — capped at ``max_surfaces`` per salt group AND
+      after the merge, bounding phase-2 state to
+      n_salt x max_surfaces strings (lowest-sorted surfaces win —
+      deterministic).
+    """
+    base = canon_entities.select(
+        "canonical_id", "type", "doc_key", "phrase")
+    rolled = salted_two_phase(
+        base,
         keys=["canonical_id"],
         partials=[
             F.min("type").alias("_type"),
-            F.collect_set("doc_key").alias("_docs"),
             F.count("*").alias("_n"),
-            F.collect_set("phrase").alias("_surfaces"),
+            F.slice(F.array_sort(F.collect_set("phrase")),
+                    1, max_surfaces).alias("_surfaces"),
         ],
         finals=[
             F.min("_type").alias("type"),
-            F.size(F.array_distinct(F.flatten(F.collect_list("_docs"))))
-            .alias("n_docs"),
             F.sum("_n").alias("n_clusters"),
-            F.array_sort(F.array_distinct(
-                F.flatten(F.collect_list("_surfaces")))).alias("surfaces"),
+            F.slice(F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("_surfaces")))),
+                1, max_surfaces).alias("surfaces"),
         ],
         n_salt=n_salt)
+    n_docs = (base.select("canonical_id", "doc_key").distinct()
+              .groupBy("canonical_id").agg(F.count("*").alias("n_docs")))
+    return rolled.join(n_docs, "canonical_id")
 
 
 def edges(canon_triples: DataFrame) -> DataFrame:
@@ -130,12 +148,29 @@ def export_predictions_json(graph: DataFrame, path: str) -> None:
      .write.mode("overwrite").json(path))
 
 
+_TPFPFN_STYLE = {"tp": "color:#0a0", "fp": "color:#c00",
+                 "fn": "color:#c80"}
+
+
+def _marked(kind: str, body: str) -> str:
+    return (f"<li style='{_TPFPFN_STYLE[kind]}'>"
+            f"[{kind.upper()}] {body}</li>")
+
+
 def export_examples_html(graph: DataFrame, path: str,
-                         limit: int = 25) -> None:
+                         limit: int = 25, gold: dict | None = None) -> None:
     """S8: small sampled HTML visualization of extractions (the shape
     of the reference's examples.html sink, ref joint_evaluator.py:
-    137-180) — a debug artifact rendered from a bounded sample, never
-    on the scale path.  No template engine: plain string rendering."""
+    137-207) — a debug artifact rendered from a bounded sample, never
+    on the scale path.  No template engine: plain string rendering.
+
+    ``gold``, when given, maps doc_key -> dict with 'mentions'
+    (set of (start, end)), 'entities' (set of (span-set tuple, type))
+    and 'triples' (set of (head span-set, head type, tail span-set,
+    tail type, rel)) — the reference's eval identities — and every item
+    is rendered color-coded as TP / FP / FN against it, matching the
+    reference template's marking (ref joint_evaluator.py:185-207
+    _get_tp_fn_fp)."""
     import html as _html
     rows = (graph.filter(F.size("triples") > 0)
             .select("doc_key", "mentions", "entities", "triples")
@@ -145,15 +180,52 @@ def export_examples_html(graph: DataFrame, path: str,
     for r in rows:
         parts.append(f"<h3>{_html.escape(r.doc_key)}</h3><ul>")
         ments = {m.mention_idx: m for m in r.mentions}
-        for e in r.entities:
-            surf = ", ".join(_html.escape(ments[i].phrase)
+        ekey = {e.entity_idx: tuple((m.start, m.end) for m in sorted(
+            (ments[i] for i in e.mention_idxs),
+            key=lambda m: (m.start, m.end))) for e in r.entities}
+
+        def esurf(e):
+            return ", ".join(_html.escape(ments[i].phrase)
                              for i in e.mention_idxs)
-            parts.append(
-                f"<li>E{e.entity_idx} <b>{e.type}</b>: {surf}</li>")
-        for t in r.triples:
-            parts.append(
-                f"<li>(E{t.head_idx}) -[{_html.escape(t.rel_type)}"
-                f" {t.score:.2f}]-> (E{t.tail_idx})</li>")
+
+        if gold is None:
+            for e in r.entities:
+                parts.append(
+                    f"<li>E{e.entity_idx} <b>{e.type}</b>: {esurf(e)}</li>")
+            for t in r.triples:
+                parts.append(
+                    f"<li>(E{t.head_idx}) -[{_html.escape(t.rel_type)}"
+                    f" {t.score:.2f}]-> (E{t.tail_idx})</li>")
+        else:
+            g = gold.get(r.doc_key,
+                         {"mentions": set(), "entities": set(),
+                          "triples": set()})
+            pred_m = {(m.start, m.end): m for m in r.mentions}
+            for (s, e), m in sorted(pred_m.items()):
+                kind = "tp" if (s, e) in g["mentions"] else "fp"
+                parts.append(_marked(
+                    kind, f"({s},{e}) {_html.escape(m.phrase)}"))
+            for s, e in sorted(g["mentions"] - set(pred_m)):
+                parts.append(_marked("fn", f"({s},{e})"))
+            pred_e = {(ekey[e.entity_idx], e.type): e for e in r.entities}
+            for key, e in sorted(pred_e.items()):
+                kind = "tp" if key in g["entities"] else "fp"
+                parts.append(_marked(
+                    kind, f"E{e.entity_idx} <b>{e.type}</b>: {esurf(e)}"))
+            for key in sorted(g["entities"] - set(pred_e)):
+                parts.append(_marked("fn", f"<b>{key[1]}</b>: {key[0]}"))
+            etype = {e.entity_idx: e.type for e in r.entities}
+            pred_t = {(ekey[t.head_idx], etype[t.head_idx],
+                       ekey[t.tail_idx], etype[t.tail_idx],
+                       t.rel_type): t for t in r.triples}
+            for key, t in sorted(pred_t.items()):
+                kind = "tp" if key in g["triples"] else "fp"
+                parts.append(_marked(
+                    kind, f"(E{t.head_idx}) -[{_html.escape(t.rel_type)}"
+                    f" {t.score:.2f}]-> (E{t.tail_idx})"))
+            for key in sorted(g["triples"] - set(pred_t)):
+                parts.append(_marked(
+                    "fn", f"{key[0]} -[{_html.escape(key[4])}]-> {key[2]}"))
         parts.append("</ul>")
     parts.append("</body></html>")
     with open(path, "w") as f:

@@ -17,10 +17,18 @@ is the standard scale path: candidates are O(near-dups), never O(n^2).
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_HASHES = 8
 SHINGLE_K = 5
+
+# Long-lived sessions (notebooks, services) should release the caches
+# these operators create once the query's final action has run;
+# bench.py and the test session fixture call release_persisted() after
+# each query so repeated invocations don't accumulate cached blocks.
+from ..caching import persist_tracked as _persist
+from ..caching import release_persisted  # noqa: F401  (re-export)
 
 
 def _docs(spark, sf_dir):
@@ -80,7 +88,7 @@ def minhash_lsh_pairs(spark, sf_dir):
            # shingle->hash->min pipeline for each side (Spark has no
            # CSE across self-joins); signatures are tiny (n_docs x
            # N_HASHES rows), so cache them
-           .persist())
+           .transform(_persist))
     a = sig.select(F.col("doc_id").alias("doc_a"), "hash_id", "sig")
     b = sig.select(F.col("doc_id").alias("doc_b"), "hash_id", "sig")
     return (a.join(b, ["hash_id", "sig"])
@@ -103,9 +111,10 @@ FROM sig a JOIN sig b
 
 
 # --- exact n-gram Jaccard for candidate pairs ----------------------------
-def ngram_jaccard(spark, sf_dir):
+def ngram_jaccard(spark, sf_dir, shingles=None):
     # used three times below (counts + both join sides): cache
-    sh = _shingles(spark, sf_dir).persist()
+    sh = _persist(shingles if shingles is not None
+                  else _shingles(spark, sf_dir))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -146,10 +155,22 @@ WHERE ROUND(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 4) >= 0.1
 # This is the production near-dup shape at corpus scale: the shingle
 # self-join in ngram_jaccard is O(pairs sharing any shingle) and blows
 # up on common shingles; gating on MinHash candidates keeps the verify
-# stage O(near-dups).
+# stage O(near-dup docs).  The gate is physical, not just logical: the
+# shingle table is semi-joined to the (broadcast) candidate doc set
+# BEFORE the intersection self-join, so the self-join's inputs carry
+# only candidate docs — Catalyst cannot derive that restriction itself
+# from a post-hoc inner join (the v1 mistake: full-corpus shingle
+# self-join, then filter).
 def dedup_lsh_verified(spark, sf_dir, threshold: float = 0.5):
-    cand = minhash_lsh_pairs(spark, sf_dir)
-    jac = ngram_jaccard(spark, sf_dir)
+    cand = _persist(minhash_lsh_pairs(spark, sf_dir))
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    # no broadcast hint: AQE converts the semi-join to broadcast at
+    # runtime when the candidate set is small (the common case) but
+    # degrades to a shuffle join gracefully when a corpus is dup-heavy
+    gated = _shingles(spark, sf_dir).join(cand_docs, "doc_id", "left_semi")
+    jac = ngram_jaccard(spark, sf_dir, shingles=gated)
     return (cand.join(jac, ["doc_a", "doc_b"])
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))

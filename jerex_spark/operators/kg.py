@@ -10,13 +10,20 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT
+from ..config import DEFAULT, GLOBAL
 from ..pipeline import build_graph, flagship_triples, kg_tables, \
     load_documents
 
 
 def kg_triples(spark, sf_dir):
     return flagship_triples(spark, sf_dir, DEFAULT)
+
+
+def kg_triples_global(spark, sf_dir):
+    """F6/F9 'joint_global' model variant (ref jerex/models/__init__.py:
+    9-20, joint_models.py:246-318) — same pipeline, global relation
+    head instead of multi-instance."""
+    return flagship_triples(spark, sf_dir, GLOBAL)
 
 
 def kg_mentions(spark, sf_dir):
@@ -81,6 +88,7 @@ FROM t
 
 QUERIES = {
     "kg_triples": (kg_triples, None),
+    "kg_triples_global": (kg_triples_global, None),
     "kg_mentions": (kg_mentions, None),
     "kg_entities": (kg_entities, None),
     "kg_doc_stats": (kg_doc_stats, None),

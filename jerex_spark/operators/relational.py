@@ -109,8 +109,9 @@ WITH x AS (
   SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pred,
          CASE WHEN value > 150.0 THEN 1 ELSE 0 END AS gt
   FROM events),
-a AS (SELECT SUM(pred * gt) AS tp, SUM(pred * (1 - gt)) AS fp,
-             SUM((1 - pred) * gt) AS fn FROM x)
+a AS (SELECT CAST(SUM(pred * gt) AS BIGINT) AS tp,
+             CAST(SUM(pred * (1 - gt)) AS BIGINT) AS fp,
+             CAST(SUM((1 - pred) * gt) AS BIGINT) AS fn FROM x)
 SELECT tp, fp, fn,
        ROUND(tp / (tp + fp), 4) AS precision,
        ROUND(tp / (tp + fn), 4) AS recall,

@@ -182,12 +182,15 @@ def _langid_sql():
 # --- document fingerprint: bottom-k sketch over 3-gram shingles --------
 def fingerprint_bottomk(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", _toks().alias("l"))
-    sh = d.select(
-        "doc_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.size("l") - 3),
-            lambda i: F.concat_ws(" ", F.slice("l", i + 1, 3))))
-        .alias("shingle")).filter(F.size(F.split("shingle", " ")) == 3)
+    # pre-filter: size("l") >= 3 BEFORE the transform — on a shorter doc
+    # sequence(0, size-3) is descending and slice(l, 0, 3) raises; the
+    # DuckDB oracle applies the same len(l) >= 3 guard
+    sh = (d.filter(F.size("l") >= 3)
+          .select("doc_id",
+                  F.explode(F.transform(
+                      F.sequence(F.lit(0), F.size("l") - 3),
+                      lambda i: F.concat_ws(" ", F.slice("l", i + 1, 3))))
+                  .alias("shingle")))
     return sh.groupBy("doc_id").agg(
         F.concat_ws("|", F.slice(F.array_sort(
             F.collect_set(F.md5("shingle"))), 1, 4)).alias("fingerprint"),
@@ -240,7 +243,8 @@ per_bit AS (
   SELECT doc_id, b,
          CASE WHEN SUM(2 * bit - 1) >= 0 THEN 1 ELSE 0 END AS sbit
   FROM bits GROUP BY doc_id, b)
-SELECT doc_id, SUM(CAST(sbit AS BIGINT) << CAST(b AS INT)) AS simhash
+SELECT doc_id,
+       CAST(SUM(CAST(sbit AS BIGINT) << CAST(b AS INT)) AS BIGINT) AS simhash
 FROM per_bit GROUP BY doc_id
 """
 
@@ -294,9 +298,10 @@ def j1_coref_pairs_rel(spark, sf_dir):
     return (a.join(b, "doc_id")
             .filter(F.col("i1") < F.col("i2"))
             .select("doc_id", "i1", "i2", "p1", "p2",
-                    # F10: max(0, second.start - first.end), size-1 spans
-                    F.greatest(F.lit(0), F.col("i2") - F.col("i1") - 1)
-                    .alias("tok_dist"),
+                    # F10 (ref sampling_common.py:297-315): distance to
+                    # the first mention's LAST token; size-1 spans ->
+                    # i2 - (i1 + 1) + 1 = i2 - i1
+                    (F.col("i2") - F.col("i1")).alias("tok_dist"),
                     F.levenshtein("p1", "p2").alias("edit_dist")))
 
 
@@ -309,7 +314,7 @@ WITH toks AS (
 m AS (SELECT * FROM toks WHERE phrase IN {_GAZ})
 SELECT a.doc_id, a.tok_idx AS i1, b.tok_idx AS i2,
        a.phrase AS p1, b.phrase AS p2,
-       greatest(0, b.tok_idx - a.tok_idx - 1) AS tok_dist,
+       b.tok_idx - a.tok_idx AS tok_dist,
        levenshtein(a.phrase, b.phrase) AS edit_dist
 FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.tok_idx < b.tok_idx
 """

@@ -44,20 +44,51 @@ def cost_balanced_repartition(df: DataFrame, cost: "F.Column",
                               n: int | None = None) -> DataFrame:
     """Straggler-defeating repartition for heavy-tailed per-row cost
     (SURVEY.md §4 item 3: long docs cost ~quadratically more in the
-    extract UDF).  Rows are ranked by descending cost and dealt
-    round-robin across partitions, so every partition gets the same
-    cost profile — a hash repartition can land several giants in one
-    task.  One extra shuffle; use for corpora with heavy length tails
-    (the per-doc span/mention caps bound the worst case regardless)."""
+    extract UDF).  Rows are bucketed into log2 cost classes (rows in a
+    class cost within 2x of each other) and each class is dealt
+    round-robin across all target partitions, so every partition gets
+    the same cost profile — a hash repartition can land several giants
+    in one task.
+
+    The round-robin deal needs a per-class global index, computed WITHOUT
+    any global sort or single-partition window (the v1 implementation's
+    unpartitioned ``Window.orderBy`` funneled the whole dataset through
+    one task):
+
+    1. local rank within (class, input-partition) — windows bounded by
+       input partition size, fully parallel;
+    2. cumulative class offsets from the tiny (class x partition) count
+       table — a window over counts, never over rows;
+    3. global index = offset + local rank, slot = index mod n.
+
+    Two passes over the input (counts + rank); persist upstream if
+    ``cost`` is expensive to recompute.  Scale-safe at any row count:
+    the only driver-independent state is the C x P counts table."""
     from pyspark.sql.window import Window
     n = n or df.sparkSession.sparkContext.defaultParallelism * 2
-    ranked = df.withColumn(
-        "_rank", F.row_number().over(Window.orderBy(cost.desc())))
+    cls = F.floor(F.log2(F.greatest(cost.cast("double") + 1.0, F.lit(1.0))))
+    src = (df.withColumn("_cost", cost)
+           .withColumn("_class", cls)
+           .withColumn("_pid", F.spark_partition_id()))
+    counts = src.groupBy("_class", "_pid").agg(F.count("*").alias("_cnt"))
+    offs = counts.select(
+        "_class", "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.partitionBy("_class").orderBy("_pid")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("_off"))
+    ranked = (src.join(F.broadcast(offs), ["_class", "_pid"])
+              .withColumn("_rank", F.row_number().over(
+                  Window.partitionBy("_class", "_pid")
+                  .orderBy(F.col("_cost").desc()))))
     # range-partition on the round-robin slot: exactly one slot value
     # per partition (hash would collide slots)
-    return (ranked.withColumn("_slot", F.pmod(F.col("_rank"), F.lit(n)))
+    return (ranked
+            .withColumn("_slot",
+                        F.pmod(F.col("_off") + F.col("_rank"), F.lit(n)))
             .repartitionByRange(n, F.col("_slot"))
-            .drop("_rank", "_slot"))
+            .drop("_cost", "_class", "_pid", "_off", "_rank", "_slot"))
 
 
 def build_graph(documents: DataFrame,
@@ -81,10 +112,18 @@ def flagship_triples(spark: SparkSession, sf_dir: str,
     docs = load_documents(spark, sf_dir)
     graph = build_graph(docs, cfg)
     t = explode_triples(graph)
+
+    # eval-identity span-set keys serialized to strings (same scheme as
+    # kg_entities.identity_key, operators/kg.py) so the emitted table is
+    # flat-typed: hashable, sortable, safe for any downstream sink.
+    def _key(col: str):
+        return F.concat_ws("|", F.transform(
+            col, lambda s: F.concat_ws(":", s.start, s.end))).alias(col)
+
     return t.select(
         "doc_key",
         F.col("head_idx").cast("int").alias("head_idx"),
         F.col("tail_idx").cast("int").alias("tail_idx"),
         "rel_type", "head_type", "tail_type",
         F.round("score", 6).alias("score"),
-        "head_key", "tail_key")
+        _key("head_key"), _key("tail_key"))

@@ -171,6 +171,37 @@ def run_document(doc_key: str, text: str,
     types = np.array([cfg.entity_types.index(e["type"])
                       for e in res.entities])
     d = cfg.hidden_size
+
+    if cfg.relation_mode == "global":
+        # joint_global variant (ref joint_models.py:246-318): entity-pair
+        # repr F6 + single linear head F9, all ordered pairs a != b
+        # (ref misc.py:59-89)
+        pair_budget = cfg.max_rel_pairs_per_doc
+        for a in range(ne):
+            for b in range(ne):
+                if a == b:
+                    continue
+                if pair_budget <= 0:
+                    break
+                pair_budget -= 1
+                pr = scoring.entity_pair_global_repr(
+                    ent_reprs[a:a + 1], ent_reprs[b:b + 1],
+                    types[a:a + 1], types[b:b + 1], w)
+                rp = scoring.sigmoid(
+                    scoring.relation_logits_global(pr, w))[0]
+                for r_i, p in enumerate(rp):
+                    if p >= cfg.rel_threshold:
+                        res.triples.append({
+                            "head_idx": a, "tail_idx": b,
+                            "rel_type": cfg.relation_types[r_i],
+                            "score": float(p),
+                            "head_key": res.entities[a]["mentions"],
+                            "tail_key": res.entities[b]["mentions"],
+                            "head_type": res.entities[a]["type"],
+                            "tail_type": res.entities[b]["type"],
+                        })
+        return res
+
     pair_budget = cfg.max_rel_pairs_per_doc
     for a in range(ne):
         for b in range(ne):
@@ -188,8 +219,11 @@ def run_document(doc_key: str, text: str,
                     hi = max(A["sub_start"], B["sub_start"])
                     ctx = (h[lo:hi].max(axis=0) if hi > lo
                            else np.zeros(d, dtype=np.float32))
+                    # ref sampling_common.py:297-315: second.start -
+                    # (first.end - 1); first = earlier-starting mention.
+                    # max/min form is equivalent after the 0-clamp.
                     td = max(0, max(A["start"], B["start"])
-                             - min(A["end"], B["end"]))
+                             - min(A["end"], B["end"]) + 1)
                     sd = abs(A["sent_idx"] - B["sent_idx"])
                     mp_rows.append((ctx, A["repr"], B["repr"],
                                     min(td, cfg.token_dist_buckets - 1),

@@ -104,6 +104,152 @@ def sample_negative_relations(doc_key: str, n_entities: int,
             if pool else [])
 
 
+# --- N5: per-task sample builders -------------------------------------
+# The reference trains/evaluates five independent sub-task models
+# (ref jerex/models/__init__.py:9-20, README.md:71-72), each with its
+# own sample builder in jerex/sampling/sampling_classify.py:12-262.
+# These are the Arrow-native equivalents: no padded tensors (ragged
+# ArrayType columns replace mention/context masks), same positives,
+# same quota-bounded seeded negatives, same feature set per task.
+
+def mention_classify_sample(doc_key: str, text: str,
+                            gold_mentions: list[tuple[int, int]],
+                            cfg: PipelineConfig = DEFAULT,
+                            train: bool = True) -> dict:
+    """'mention_localization' samples
+    (ref sampling_classify.py:128-174): train = gold spans (label 1) +
+    quota/overlap-sampled negative spans (label 0); inference = every
+    candidate span, unlabeled."""
+    tok = tokenize_document(text, cfg)
+    sent_lens = [len(s) for s in tok.sentences]
+    if train:
+        gold_set = set(gold_mentions)
+        neg = sample_negative_mentions(doc_key, sent_lens, gold_set, cfg)
+        spans = sorted(gold_set) + neg
+        labels = [1] * len(gold_set) + [0] * len(neg)
+    else:
+        spans = _enumerate_spans(sent_lens, cfg.max_span_size)
+        labels = [None] * len(spans)
+    return {"doc_key": doc_key,
+            "spans": spans,
+            "sizes": [e - s for s, e in spans],
+            "labels": labels}
+
+
+def coref_classify_sample(doc_key: str, text: str,
+                          gold_mentions: list[tuple[int, int]],
+                          gold_clusters: list[list[int]],
+                          cfg: PipelineConfig = DEFAULT,
+                          train: bool = True) -> dict:
+    """'coreference_resolution' samples
+    (ref sampling_classify.py:200-262): pairs of gold mentions with
+    edit-distance feature; train = gold coreferent pairs (label 1) +
+    sampled cross-cluster pairs (label 0); inference = all pairs."""
+    from .scoring import edit_distance
+    tok = tokenize_document(text, cfg)
+
+    def phrase(m):
+        s, e = gold_mentions[m]
+        return " ".join(tok.phrases[s:e])
+
+    if train:
+        pos, neg = sample_negative_coref_pairs(doc_key, gold_clusters)
+        pairs = pos + neg
+        labels = [1] * len(pos) + [0] * len(neg)
+    else:
+        n = len(gold_mentions)
+        pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+        labels = [None] * len(pairs)
+    eds = [min(edit_distance(phrase(a), phrase(b)),
+               cfg.edit_dist_buckets - 1) for a, b in pairs]
+    return {"doc_key": doc_key, "pairs": pairs, "eds": eds,
+            "labels": labels}
+
+
+def entity_classify_sample(doc_key: str,
+                           gold_clusters: list[list[int]],
+                           gold_types: list[str],
+                           cfg: PipelineConfig = DEFAULT) -> dict:
+    """'entity_classification' samples
+    (ref sampling_classify.py:176-198): gold entity clusters (mention
+    index lists) with their gold type labels — same sample for train
+    and inference (entities are given, only the type is predicted)."""
+    return {"doc_key": doc_key,
+            "clusters": [list(c) for c in gold_clusters],
+            "type_ids": [cfg.entity_types.index(t) for t in gold_types]}
+
+
+def _rel_pos_neg(doc_key: str, gold_clusters, gold_relations,
+                 cfg: PipelineConfig):
+    rel_types = {}
+    for h, t, r in gold_relations:
+        rel_types.setdefault((h, t), set()).add(r)
+    pos_pairs = sorted(rel_types)
+    multi_hot = [[int(r in rel_types[p]) for r in cfg.relation_types]
+                 for p in pos_pairs]
+    neg = sample_negative_relations(doc_key, len(gold_clusters),
+                                    set(pos_pairs))
+    zeros = [[0] * len(cfg.relation_types)] * len(neg)
+    return pos_pairs + neg, multi_hot + zeros
+
+
+def rel_classify_global_sample(doc_key: str,
+                               gold_clusters: list[list[int]],
+                               gold_types: list[str],
+                               gold_relations: list[tuple[int, int, str]],
+                               cfg: PipelineConfig = DEFAULT) -> dict:
+    """'relation_classification_global' samples
+    (ref sampling_classify.py:12-82 create_rel_global_tensors path):
+    ordered entity pairs — gold pairs with multi-hot labels plus
+    strong negatives (pairs of labeled entities) — with head/tail
+    entity-type ids (the F6 meta features)."""
+    pairs, labels = _rel_pos_neg(doc_key, gold_clusters, gold_relations,
+                                 cfg)
+    tids = [cfg.entity_types.index(t) for t in gold_types]
+    return {"doc_key": doc_key, "pairs": pairs, "labels_multihot": labels,
+            "head_type_ids": [tids[a] for a, _ in pairs],
+            "tail_type_ids": [tids[b] for _, b in pairs]}
+
+
+def rel_classify_mi_sample(doc_key: str, text: str,
+                           gold_mentions: list[tuple[int, int]],
+                           gold_sent_idx: list[int],
+                           gold_clusters: list[list[int]],
+                           gold_relations: list[tuple[int, int, str]],
+                           cfg: PipelineConfig = DEFAULT) -> dict:
+    """'relation_classification_multi_instance' samples
+    (ref sampling_classify.py:12-82 create_rel_mi_tensors path): same
+    pos/neg entity pairs as the global task, expanded to mention pairs
+    with the F10 token/sentence distance features and the A4 context
+    window bounds (sub-word coords come from the shared tokenizer)."""
+    tok = tokenize_document(text, cfg)
+    pairs, labels = _rel_pos_neg(doc_key, gold_clusters, gold_relations,
+                                 cfg)
+    mp_rows = []        # (pair_idx, mi, mj, tok_dist, sent_dist)
+    for p_i, (a, b) in enumerate(pairs):
+        for mi in gold_clusters[a]:
+            for mj in gold_clusters[b]:
+                (s1, e1), (s2, e2) = gold_mentions[mi], gold_mentions[mj]
+                # ref sampling_common.py:297-315: distance to the first
+                # mention's LAST token
+                td = max(0, max(s1, s2) - min(e1, e2) + 1)
+                sd = abs(gold_sent_idx[mi] - gold_sent_idx[mj])
+                mp_rows.append((p_i, mi, mj,
+                                min(td, cfg.token_dist_buckets - 1),
+                                min(sd, cfg.sent_dist_buckets - 1)))
+    return {"doc_key": doc_key, "pairs": pairs, "labels_multihot": labels,
+            "n_tokens": len(tok.phrases), "mention_pairs": mp_rows}
+
+
+TASK_SAMPLE_BUILDERS = {
+    "mention_localization": mention_classify_sample,
+    "coreference_resolution": coref_classify_sample,
+    "entity_classification": entity_classify_sample,
+    "relation_classification_global": rel_classify_global_sample,
+    "relation_classification_multi_instance": rel_classify_mi_sample,
+}
+
+
 def build_training_samples(doc_key: str, text: str,
                            gold_mentions: list[tuple[int, int]],
                            gold_clusters: list[list[int]],
@@ -135,3 +281,92 @@ def build_training_samples(doc_key: str, text: str,
         "pos_coref": pos_c, "neg_coref": neg_c,
         "pos_rel_multihot": multi_hot, "neg_rel": neg_r,
     }
+
+# --- N5 Spark surface: distributed per-task sample tables ---------------
+# Gold table schema (FIXTURES.md-style annotations):
+#   doc_key string, text string,
+#   mentions  array<struct<start:int, end:int, sent_idx:int>>,
+#   clusters  array<array<int>>,
+#   types     array<string>,
+#   relations array<struct<head:int, tail:int, rel:string>>
+# One mapInPandas per task; each output row is one sample ITEM (span /
+# pair / cluster), so the result is a flat, shuffle-friendly training
+# table — the distributed replacement for the reference's per-task
+# DataLoader (ref sampling_classify.py:12-262).
+
+_TASK_SCHEMAS = {
+    "mention_localization":
+        "doc_key string, start int, end int, size int, label int",
+    "coreference_resolution":
+        "doc_key string, m1 int, m2 int, ed int, label int",
+    "entity_classification":
+        "doc_key string, entity_idx int, mention_idxs array<int>, "
+        "type_id int",
+    "relation_classification_global":
+        "doc_key string, head int, tail int, head_type_id int, "
+        "tail_type_id int, labels array<int>",
+    "relation_classification_multi_instance":
+        "doc_key string, head int, tail int, pair_idx int, m1 int, "
+        "m2 int, tok_dist int, sent_dist int, labels array<int>",
+}
+
+
+def _task_rows(task: str, row, cfg: PipelineConfig, train: bool):
+    ments = [(m["start"], m["end"]) for m in row.mentions]
+    sent_idx = [m["sent_idx"] for m in row.mentions]
+    clusters = [list(c) for c in row.clusters]
+    rels = [(r["head"], r["tail"], r["rel"]) for r in row.relations]
+    if task == "mention_localization":
+        s = mention_classify_sample(row.doc_key, row.text, ments, cfg,
+                                    train=train)
+        for (a, b), sz, lb in zip(s["spans"], s["sizes"], s["labels"]):
+            yield (row.doc_key, a, b, sz, lb)
+    elif task == "coreference_resolution":
+        s = coref_classify_sample(row.doc_key, row.text, ments, clusters,
+                                  cfg, train=train)
+        for (a, b), ed, lb in zip(s["pairs"], s["eds"], s["labels"]):
+            yield (row.doc_key, a, b, ed, lb)
+    elif task == "entity_classification":
+        s = entity_classify_sample(row.doc_key, clusters, list(row.types),
+                                   cfg)
+        for e_i, (c, t) in enumerate(zip(s["clusters"], s["type_ids"])):
+            yield (row.doc_key, e_i, c, t)
+    elif task == "relation_classification_global":
+        s = rel_classify_global_sample(row.doc_key, clusters,
+                                       list(row.types), rels, cfg)
+        for (a, b), ht, tt, lb in zip(s["pairs"], s["head_type_ids"],
+                                      s["tail_type_ids"],
+                                      s["labels_multihot"]):
+            yield (row.doc_key, a, b, ht, tt, lb)
+    elif task == "relation_classification_multi_instance":
+        s = rel_classify_mi_sample(row.doc_key, row.text, ments, sent_idx,
+                                   clusters, rels, cfg)
+        for p_i, mi, mj, td, sd in s["mention_pairs"]:
+            a, b = s["pairs"][p_i]
+            yield (row.doc_key, a, b, p_i, mi, mj, td, sd,
+                   s["labels_multihot"][p_i])
+    else:
+        raise ValueError(f"unknown task {task!r}")
+
+
+def task_samples(gold_df, task: str, cfg: PipelineConfig = DEFAULT,
+                 train: bool = True):
+    """gold documents DataFrame -> flat per-task sample DataFrame.
+
+    Embarrassingly parallel (every sample derives from one document and
+    a doc-key-seeded RNG), so the operator is shuffle-free; the caller
+    controls partitioning."""
+    import pandas as pd
+
+    schema = _TASK_SCHEMAS[task]
+    cols = [f.split()[0] for f in schema.split(", ")]
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                out.extend(_task_rows(task, row, cfg, train))
+            yield pd.DataFrame(out, columns=cols)
+
+    return gold_df.select("doc_key", "text", "mentions", "clusters",
+                          "types", "relations").mapInPandas(run, schema)

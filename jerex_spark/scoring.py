@@ -171,6 +171,28 @@ def relation_logits(pooled: np.ndarray, head_type: np.ndarray,
     return (hidden @ w.rel_w2 + w.rel_b2).astype(np.float32)
 
 
+def entity_pair_global_repr(head: np.ndarray, tail: np.ndarray,
+                            head_type: np.ndarray, tail_type: np.ndarray,
+                            w: SurrogateWeights) -> np.ndarray:
+    """F6: concat(head_repr, tail_repr, etype_emb[head], etype_emb[tail])
+    -> Linear -> relu (dropout is identity at inference).
+
+    ref entity_pair_representation.py:6-27 (EntityPairRepresentation:
+    entity_pair_linear over batch-indexed entity pairs + entity-type
+    meta embeddings, then relu)."""
+    x = np.concatenate(
+        [head, tail, w.etype_emb[head_type], w.etype_emb[tail_type]],
+        axis=1)
+    return relu(x @ w.pair_w + w.pair_b).astype(np.float32)
+
+
+def relation_logits_global(pair_repr: np.ndarray,
+                           w: SurrogateWeights) -> np.ndarray:
+    """F9: global relation head — single Linear over the entity-pair
+    representation (ref relation_classification_global.py:10-13)."""
+    return (pair_repr @ w.relg_w + w.relg_b).astype(np.float32)
+
+
 def context_pool(h: np.ndarray, first_end: int, second_start: int,
                  d: int) -> np.ndarray:
     """A4: masked max over sub-word tokens strictly between two mentions;
@@ -182,9 +204,11 @@ def context_pool(h: np.ndarray, first_end: int, second_start: int,
 
 
 def token_distance(first_end: int, second_start: int) -> int:
-    """F10: max(0, second.start - first.end), token coordinates
-    (ref sampling_common.py:297-315)."""
-    return max(0, second_start - first_end)
+    """F10: max(0, second.start - (first.end - 1)) in end-EXCLUSIVE
+    token coordinates (ref sampling_common.py:297-315 subtracts the
+    first mention's LAST token index, i.e. first.end - 1, so two
+    adjacent mentions are at distance 1, not 0)."""
+    return max(0, second_start - first_end + 1)
 
 
 _ED_CACHE: dict[tuple[str, str], int] = {}

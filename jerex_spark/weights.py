@@ -62,6 +62,13 @@ class SurrogateWeights:
     rel_b1: np.ndarray        # (d,)
     rel_w2: np.ndarray        # (d, n_rel_types)
     rel_b2: np.ndarray        # (n_rel_types,)
+    # relation head, global variant (F6/F9)
+    # (ref entity_pair_representation.py:6-27: Linear(2d + 2m -> d),
+    #  ref relation_classification_global.py:10-13: Linear(d -> n_rel))
+    pair_w: np.ndarray        # (2d + 2m, d)   entity-pair repr (F6)
+    pair_b: np.ndarray        # (d,)
+    relg_w: np.ndarray        # (d, n_rel_types)  global rel head (F9)
+    relg_b: np.ndarray        # (n_rel_types,)
 
 
 _CACHE: dict[int, SurrogateWeights] = {}
@@ -140,6 +147,12 @@ def load_weights(cfg: PipelineConfig = DEFAULT) -> SurrogateWeights:
     rel_w2 = mat(d, n_rt, scale=0.3)
     rel_b2 = np.full(n_rt, -5.2, dtype=np.float32)
 
+    pair_w = mat(2 * d + 2 * m, d, scale=0.2)
+    pair_b = np.zeros(d, dtype=np.float32)
+    relg_w = mat(d, n_rt, scale=0.3)
+    # calibrated: ~0.5 triples/doc under the global head on the corpus
+    relg_b = np.full(n_rt, -3.2, dtype=np.float32)
+
     w = SurrogateWeights(
         tok_emb=tok_emb, pos_emb=pos_emb, enc_w=enc_w,
         size_emb=size_emb, men_w1=men_w1, men_b1=men_b1, men_w2=men_w2,
@@ -148,6 +161,7 @@ def load_weights(cfg: PipelineConfig = DEFAULT) -> SurrogateWeights:
         ent_w2=ent_w2, ent_b2=ent_b2, tdist_emb=tdist_emb,
         sdist_emb=sdist_emb, etype_emb=etype_emb, mp_w=mp_w, mp_b=mp_b,
         rel_w1=rel_w1, rel_b1=rel_b1, rel_w2=rel_w2, rel_b2=rel_b2,
+        pair_w=pair_w, pair_b=pair_b, relg_w=relg_w, relg_b=relg_b,
     )
     _CACHE[cfg.weight_seed] = w
     return w

@@ -99,6 +99,57 @@ def test_examples_html_sink(spark, pages_graph, tmp_path):
     assert html.startswith("<html>") and "-[" in html and "<b>" in html
 
 
+def test_examples_html_tp_fp_fn_marking(spark, pages_graph, tmp_path):
+    """S8 parity with the reference template semantics: items render
+    color-coded TP/FP/FN against gold eval identities
+    (ref joint_evaluator.py:185-207)."""
+    from jerex_spark.graph import export_examples_html
+    rows = (pages_graph.filter(F.size("triples") > 0)
+            .select("doc_key", "mentions", "entities", "triples")
+            .limit(3).collect())
+    assert rows
+    # gold = the predictions themselves (all TP) plus one planted FN
+    gold = {}
+    for r in rows:
+        ments = {m.mention_idx: m for m in r.mentions}
+        ekey = {e.entity_idx: tuple(sorted(
+            (ments[i].start, ments[i].end) for i in e.mention_idxs))
+            for e in r.entities}
+        etype = {e.entity_idx: e.type for e in r.entities}
+        gold[r.doc_key] = {
+            "mentions": {(m.start, m.end) for m in r.mentions},
+            "entities": {(ekey[e.entity_idx], e.type) for e in r.entities},
+            "triples": {(ekey[t.head_idx], etype[t.head_idx],
+                         ekey[t.tail_idx], etype[t.tail_idx], t.rel_type)
+                        for t in r.triples},
+        }
+    planted = next(iter(gold))
+    gold[planted]["mentions"].add((990, 991))
+    out = str(tmp_path / "examples_marked.html")
+    export_examples_html(pages_graph, out, limit=3, gold=gold)
+    html = open(out).read()
+    assert "[TP]" in html and "[FN] (990,991)" in html
+    assert "[FP]" not in html          # predictions == gold otherwise
+
+
+def test_canonical_entity_table_hot_key(spark):
+    """Country-scale hot key: one canonical id covering most of the
+    corpus must aggregate with bounded per-reducer state — exact
+    n_docs via two-level count-distinct, surfaces capped."""
+    from jerex_spark.graph import canonical_entity_table
+    n = 20000
+    rows = [(f"d{i}", 0, "QHOT" if i % 20 else f"Q{i}", "LOC",
+             f"surface_{i % 500}") for i in range(n)]
+    canon = spark.createDataFrame(
+        rows, ["doc_key", "entity_idx", "canonical_id", "type", "phrase"])
+    et = canonical_entity_table(canon, max_surfaces=50)
+    hot = et.filter(F.col("canonical_id") == "QHOT").collect()[0]
+    assert hot.n_docs == n - n // 20     # exact distinct docs
+    assert hot.n_clusters == n - n // 20
+    assert len(hot.surfaces) == 50       # capped, not 475
+    assert hot.surfaces == sorted(hot.surfaces)
+
+
 def test_salted_two_phase_agg_matches_direct(spark):
     from jerex_spark.graph import salted_two_phase
     # hot key: 90% of rows share one canonical id

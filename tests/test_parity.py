@@ -101,3 +101,32 @@ def test_scores_match(spark_graph, golden):
 def test_flagship_runs(spark, sf0001):
     df = flagship_triples(spark, sf0001)
     assert df.count() > 0
+
+
+def test_triple_parity_global_variant(spark, sf0001):
+    """F6/F9: the 'joint_global' model variant (ref jerex/models/
+    __init__.py:9-20, joint_models.py:246-318) — exact triple parity
+    between the Spark pipeline and the reference executor, both under
+    relation_mode='global'."""
+    from jerex_spark.config import GLOBAL
+
+    n = 120
+    rows = duckdb.sql(
+        f"select source || '/' || doc_id as doc_key, text "
+        f"from '{sf0001}/documents.parquet' order by doc_id "
+        f"limit {n}").fetchall()
+    gold = set()
+    for k, t in rows:
+        for tr in run_document(k, t, GLOBAL).triples:
+            gold.add(triple_identity(k, tr))
+    assert gold, "global head emitted no triples — recalibrate relg_b"
+
+    docs = load_documents(spark, sf0001).filter(f"doc_id < {n}")
+    spark_set = set()
+    for r in kg_tables(build_graph(docs, GLOBAL))["triples"].collect():
+        spark_set.add((
+            r.doc_key,
+            tuple((s.start, s.end) for s in r.head_key), r.head_type,
+            tuple((s.start, s.end) for s in r.tail_key), r.tail_type,
+            r.rel_type))
+    assert spark_set == gold

@@ -71,6 +71,53 @@ def test_bucketed_join_no_shuffle(spark, sf001, tmp_path):
         spark.sql("DROP TABLE IF EXISTS customer_b")
 
 
+def test_cost_balanced_repartition_no_global_window(spark):
+    """The straggler-defense repartition must never funnel the dataset
+    through one task: no unpartitioned window (SinglePartition
+    exchange) anywhere in its plan — the v1 global row_number did."""
+    from jerex_spark.pipeline import cost_balanced_repartition
+    df = spark.range(10000).withColumn("cost", (F.col("id") % 100) * 1.0)
+    out = cost_balanced_repartition(df, F.col("cost"), n=8)
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_no_unpartitioned_window_in_source():
+    """Belt-and-braces: no Window.orderBy without partitionBy in any
+    non-test source file (the scale-killer pattern)."""
+    import ast
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parents[1] / "jerex_spark"
+    bad = []
+    for p in root.rglob("*.py"):
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "orderBy"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "Window"):
+                bad.append(f"{p.name}:{node.lineno}")
+    assert not bad, f"unpartitioned Window.orderBy at {bad}"
+
+
+def test_dedup_lsh_verified_gates_shingle_join(spark, sf001):
+    """The verify stage's shingle self-join must consume candidate-
+    filtered inputs: both scans feeding the intersection join sit below
+    a LeftSemi join against the candidate doc set."""
+    from jerex_spark.caching import release_persisted
+    from jerex_spark.operators.dedup import dedup_lsh_verified
+    try:
+        plan = _optimized(dedup_lsh_verified(spark, sf001))
+        assert "LeftSemi" in plan, plan
+        # the jaccard intersection join (shingle = shingle) appears
+        # after/below the semi-join gating in the optimized tree
+        assert plan.count("LeftSemi") >= 2, (
+            "both shingle sides must be candidate-gated:\n" + plan)
+    finally:
+        release_persisted()
+
+
 def test_aqe_coalesces_small_shuffle(spark, sf001):
     li = spark.read.parquet(f"{sf001}/lineitem.parquet")
     out = (li.groupBy("l_partkey")

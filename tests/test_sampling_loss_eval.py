@@ -62,6 +62,76 @@ def test_build_training_samples_multihot():
     assert s["pos_rel_multihot"][(1, 0)] == [0, 1, 0]
 
 
+# --- N5: per-task sample builders (ref sampling_classify.py:12-262) ------
+_GOLD_SCHEMA = (
+    "doc_key string, text string, "
+    "mentions array<struct<start:int, end:int, sent_idx:int>>, "
+    "clusters array<array<int>>, types array<string>, "
+    "relations array<struct<head:int, tail:int, rel:string>>")
+
+
+def _gold_df(spark):
+    rows = [
+        ("g/0", "alice works at acme corp in springfield",
+         [(0, 1, 0), (3, 5, 0), (6, 7, 0)],
+         [[0], [1], [2]], ["PER", "ORG", "LOC"],
+         [(0, 1, "works_at"), (1, 2, "based_in")]),
+        ("g/1", "bob and alice partner at globex",
+         [(0, 1, 0), (2, 3, 0), (5, 6, 0)],
+         [[0, 1], [2]], ["PER", "ORG"],
+         [(0, 1, "works_at"), (0, 1, "partner_of")]),
+    ]
+    return spark.createDataFrame(rows, _GOLD_SCHEMA)
+
+
+def test_task_samples_all_five_tasks(spark):
+    from jerex_spark.sampling import _TASK_SCHEMAS, task_samples
+    gold = _gold_df(spark)
+    for task in _TASK_SCHEMAS:
+        out = task_samples(gold, task).collect()
+        assert out, task
+        # seeded negatives: identical on re-run
+        out2 = task_samples(gold, task).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2)), task
+
+
+def test_task_samples_semantics(spark):
+    from jerex_spark.sampling import task_samples
+    gold = _gold_df(spark)
+
+    m = task_samples(gold, "mention_localization").collect()
+    pos = {(r.doc_key, r.start, r.end) for r in m if r.label == 1}
+    assert ("g/0", 0, 1) in pos and ("g/1", 5, 6) in pos
+    assert all(r.label in (0, 1) for r in m)
+
+    c = task_samples(gold, "coreference_resolution").collect()
+    d1 = [r for r in c if r.doc_key == "g/1"]
+    assert {(r.m1, r.m2) for r in d1 if r.label == 1} == {(0, 1)}
+    # negatives never cross-label a gold pair
+    assert all((r.m1, r.m2) != (0, 1) for r in d1 if r.label == 0)
+
+    e = task_samples(gold, "entity_classification").collect()
+    assert {(r.doc_key, r.entity_idx, r.type_id) for r in e} == {
+        ("g/0", 0, 0), ("g/0", 1, 1), ("g/0", 2, 2),
+        ("g/1", 0, 0), ("g/1", 1, 1)}
+
+    g = task_samples(gold, "relation_classification_global").collect()
+    lab = {(r.doc_key, r.head, r.tail): list(r.labels) for r in g}
+    assert lab[("g/1", 0, 1)] == [1, 0, 1]     # works_at + partner_of
+    assert lab[("g/0", 1, 2)] == [0, 1, 0]     # based_in
+    hit = [r for r in g if r.doc_key == "g/0" and (r.head, r.tail) == (0, 1)]
+    assert hit[0].head_type_id == 0 and hit[0].tail_type_id == 1
+
+    mi = task_samples(gold, "relation_classification_multi_instance") \
+        .collect()
+    # g/1 pair (0,1): head cluster {0,1} x tail {2} -> 2 mention pairs
+    d = [r for r in mi if r.doc_key == "g/1" and (r.head, r.tail) == (0, 1)]
+    assert {(r.m1, r.m2) for r in d} == {(0, 2), (1, 2)}
+    # F10: mentions (2,3) and (5,6) -> dist = 5 - 3 + 1 = 3
+    td = {(r.m1, r.m2): r.tok_dist for r in d}
+    assert td[(1, 2)] == 3
+
+
 # --- A7 ------------------------------------------------------------------
 def test_bce_matches_closed_form():
     logits = np.array([0.0, 2.0, -2.0], dtype=np.float32)

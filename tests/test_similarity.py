@@ -7,7 +7,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from jerex_spark.operators.similarity import ann_cosine_topk, ivf_topk
+from jerex_spark.operators.similarity import ann_cosine_topk, ivf_topk, \
+    lsh_topk
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf001):
@@ -23,6 +24,25 @@ def test_ivf_recall_vs_bruteforce(spark, sf001):
 def test_ivf_deterministic(spark, sf001):
     a = sorted(map(tuple, ivf_topk(spark, sf001).collect()))
     b = sorted(map(tuple, ivf_topk(spark, sf001).collect()))
+    assert a == b
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf001):
+    """The sign-LSH path is a real neighbor search (within-bucket
+    top-k), not just bucket statistics; multi-band probing keeps
+    recall usable on these near-uniform synthetic embeddings."""
+    exact = {(r.query_id, r.neighbor_id)
+             for r in ann_cosine_topk(spark, sf001).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in lsh_topk(spark, sf001).collect()}
+    assert approx, "lsh returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"LSH recall@5 {recall:.2f}"
+
+
+def test_lsh_topk_deterministic(spark, sf001):
+    a = sorted(map(tuple, lsh_topk(spark, sf001).collect()))
+    b = sorted(map(tuple, lsh_topk(spark, sf001).collect()))
     assert a == b
 
 

@@ -56,9 +56,11 @@ def test_edit_distance_known_values():
 
 
 def test_token_distance_rule():
-    # max(0, second.start - first.end) (ref sampling_common.py:297-315)
-    assert scoring.token_distance(5, 9) == 4
-    assert scoring.token_distance(5, 5) == 0
+    # max(0, second.start - (first.end - 1)): the reference subtracts
+    # the first mention's LAST token index, so adjacent mentions are at
+    # distance 1 (ref sampling_common.py:297-315)
+    assert scoring.token_distance(5, 9) == 5
+    assert scoring.token_distance(5, 5) == 1   # adjacent
     assert scoring.token_distance(5, 3) == 0   # overlap clamps to 0
 
 
