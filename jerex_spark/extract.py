@@ -113,6 +113,7 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
 
     # per-doc threshold filter + cap (P2) — vectorized
     cor_m1, cor_m2, cor_bk = [], [], []
+    cor_n = 0
     for st in docs:
         tok = st["tok"]
         ns = len(st["starts"])
@@ -138,20 +139,26 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         st["mentions"] = ms
         st["mrepr"] = (all_reprs[off:off + ns][kept]
                        if len(kept) else np.zeros((0, d), dtype=np.float32))
-        # J1/J2: upper-triangle coref pairs, batch-accumulated
+        # J1/J2: upper-triangle coref pairs — vectorized gathers; only
+        # the edit-distance DP stays a (memoized) per-pair loop
         nm = len(ms)
-        st["cor_off"] = len(cor_bk)
-        for i in range(nm):
-            for j in range(i + 1, nm):
-                ed = scoring.edit_distance(ms[i]["phrase"], ms[j]["phrase"])
-                cor_bk.append(min(ed, cfg.edit_dist_buckets - 1))
-                cor_m1.append(st["mrepr"][i])
-                cor_m2.append(st["mrepr"][j])
+        st["cor_off"] = cor_n
+        if nm > 1:
+            iu, ju = np.triu_indices(nm, 1)
+            phrases = [m["phrase"] for m in ms]
+            cor_bk.append(np.fromiter(
+                (min(scoring.edit_distance(phrases[i], phrases[j]),
+                     cfg.edit_dist_buckets - 1)
+                 for i, j in zip(iu, ju)), np.int64, count=len(iu)))
+            cor_m1.append(st["mrepr"][iu])
+            cor_m2.append(st["mrepr"][ju])
+            cor_n += len(iu)
 
     # F3 coref scoring: one matmul over every pair in the batch
-    if cor_bk:
+    if cor_n:
         cor_sims = scoring.sigmoid(scoring.coref_logits(
-            np.stack(cor_m1), np.stack(cor_m2), np.asarray(cor_bk), w))
+            np.concatenate(cor_m1), np.concatenate(cor_m2),
+            np.concatenate(cor_bk), w))
     else:
         cor_sims = np.zeros(0, dtype=np.float32)
 
@@ -216,67 +223,90 @@ def _relations_multi_instance(docs: list, all_ent: np.ndarray,
                               cfg: PipelineConfig, w) -> None:
     """F5/F7/F8 + A3/A4: mention-pair expansion with multi-instance
     max-pool (ref relation_classification_multi_instance.py:59-105,
-    joint_models.py:202-244), batch-accumulated into single matmuls."""
-    d = cfg.hidden_size
+    joint_models.py:202-244), batch-accumulated into single matmuls.
+
+    Fully vectorized: mention-pair indices come from repeat/tile over
+    the cluster index arrays, the A4 context pools run as ONE segmented
+    ``maximum.reduceat`` over the gathered sub-word windows (identical
+    fp32 values to the per-pair slice-max — max is order-insensitive),
+    and all distance buckets are array expressions.  No per-mention-pair
+    Python; row order matches the reference loop exactly (entity pairs
+    row-major, then head-cluster-major mention pairs)."""
     mp_ctx, mp_m1, mp_m2, mp_pair, mp_td, mp_sd = [], [], [], [], [], []
-    mp_seg = []          # entity-pair segment id per mention pair
+    mp_counts = []       # mention pairs per entity pair (segment sizes)
     pair_meta = []       # (doc_i, head_entity_idx, tail_entity_idx)
+    ht, tt = [], []
     for doc_i, st in enumerate(docs):
         clusters = st.get("clusters", [])
         ne = len(clusters)
         if ne < 2:
             continue
-        h = st["h"]
         ms = st["mentions"]
-        pair_budget = cfg.max_rel_pairs_per_doc
-        for a in range(ne):
-            ra = all_ent[st["ent_off"] + a]
-            for b in range(ne):
-                if a == b:
-                    continue
-                if pair_budget <= 0:
-                    break
-                pair_budget -= 1
-                seg = len(pair_meta)
-                pair_meta.append((doc_i, a, b))
-                pr = np.concatenate([ra, all_ent[st["ent_off"] + b]])
-                for mi in clusters[a]:
-                    for mj in clusters[b]:
-                        A, B = ms[mi], ms[mj]
-                        lo = min(A["sub_end"], B["sub_end"])
-                        hi = max(A["sub_start"], B["sub_start"])
-                        mp_ctx.append(h[lo:hi].max(axis=0) if hi > lo
-                                      else np.zeros(d, dtype=np.float32))
-                        mp_m1.append(st["mrepr"][mi])
-                        mp_m2.append(st["mrepr"][mj])
-                        mp_pair.append(pr)
-                        # ref sampling_common.py:297-315: distance to
-                        # the first mention's LAST token (end - 1), so
-                        # adjacent mentions sit in bucket 1
-                        mp_td.append(min(
-                            max(0, max(A["start"], B["start"])
-                                - min(A["end"], B["end"]) + 1),
-                            cfg.token_dist_buckets - 1))
-                        mp_sd.append(min(abs(A["sent_idx"] - B["sent_idx"]),
-                                         cfg.sent_dist_buckets - 1))
-                        mp_seg.append(seg)
+        m_start = np.fromiter((m["start"] for m in ms), np.int64, len(ms))
+        m_end = np.fromiter((m["end"] for m in ms), np.int64, len(ms))
+        m_ss = np.fromiter((m["sub_start"] for m in ms), np.int64, len(ms))
+        m_se = np.fromiter((m["sub_end"] for m in ms), np.int64, len(ms))
+        m_sent = np.fromiter((m["sent_idx"] for m in ms), np.int64,
+                             len(ms))
+        carr = [np.asarray(c, dtype=np.int64) for c in clusters]
+        # ordered entity pairs (a != b), row-major, budget-capped —
+        # identical to the reference's nested loop with decrementing
+        # budget
+        pairs = [(a, b) for a in range(ne) for b in range(ne)
+                 if a != b][: cfg.max_rel_pairs_per_doc]
+        off = st["ent_off"]
+        etypes = np.fromiter(
+            (cfg.entity_types.index(e["type"]) for e in st["entities"]),
+            np.int64, ne)
+        # mention-pair index arrays: head-cluster-major within each pair
+        mi_idx = np.concatenate(
+            [np.repeat(carr[a], len(carr[b])) for a, b in pairs])
+        mj_idx = np.concatenate(
+            [np.tile(carr[b], len(carr[a])) for a, b in pairs])
+        counts = np.fromiter(
+            (len(carr[a]) * len(carr[b]) for a, b in pairs),
+            np.int64, len(pairs))
+        # A4 context pool: max over sub-words strictly between the two
+        # mentions; zero where adjacent/overlapping
+        lo = np.minimum(m_se[mi_idx], m_se[mj_idx])
+        hi = np.maximum(m_ss[mi_idx], m_ss[mj_idx])
+        ctx = np.zeros((len(mi_idx), cfg.hidden_size), dtype=np.float32)
+        valid = hi > lo
+        if valid.any():
+            ctx[valid] = scoring.span_maxpool(
+                st["h"], lo[valid], hi[valid])
+        mp_ctx.append(ctx)
+        mp_m1.append(st["mrepr"][mi_idx])
+        mp_m2.append(st["mrepr"][mj_idx])
+        # F5 entity-pair repr, expanded to each pair's mention pairs
+        a_idx = np.fromiter((a for a, _ in pairs), np.int64, len(pairs))
+        b_idx = np.fromiter((b for _, b in pairs), np.int64, len(pairs))
+        ep = np.concatenate(
+            [all_ent[off + a_idx], all_ent[off + b_idx]], axis=1)
+        mp_pair.append(np.repeat(ep, counts, axis=0))
+        # F10 distances: ref sampling_common.py:297-315 — distance to
+        # the first mention's LAST token (end - 1), adjacent -> 1
+        td = np.maximum(0, np.maximum(m_start[mi_idx], m_start[mj_idx])
+                        - np.minimum(m_end[mi_idx], m_end[mj_idx]) + 1)
+        mp_td.append(np.minimum(td, cfg.token_dist_buckets - 1))
+        sd = np.abs(m_sent[mi_idx] - m_sent[mj_idx])
+        mp_sd.append(np.minimum(sd, cfg.sent_dist_buckets - 1))
+        mp_counts.append(counts)
+        pair_meta.extend((doc_i, a, b) for a, b in pairs)
+        ht.append(etypes[a_idx])
+        tt.append(etypes[b_idx])
 
     # F7 + A3 + F8: batch matmuls with segment max-pool
     if pair_meta:
         mp = scoring.mention_pair_repr(
-            np.stack(mp_ctx), np.stack(mp_m1), np.stack(mp_m2),
-            np.stack(mp_pair), np.asarray(mp_td), np.asarray(mp_sd), w)
-        seg = np.asarray(mp_seg)
-        # segment boundaries: mp_seg is non-decreasing by construction
-        starts = np.searchsorted(seg, np.arange(len(pair_meta)))
+            np.concatenate(mp_ctx), np.concatenate(mp_m1),
+            np.concatenate(mp_m2), np.concatenate(mp_pair),
+            np.concatenate(mp_td), np.concatenate(mp_sd), w)
+        counts = np.concatenate(mp_counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         pooled = np.maximum.reduceat(mp, starts, axis=0)
-        ht = np.fromiter(
-            (cfg.entity_types.index(docs[di]["entities"][a]["type"])
-             for di, a, _ in pair_meta), int)
-        tt = np.fromiter(
-            (cfg.entity_types.index(docs[di]["entities"][b]["type"])
-             for di, _, b in pair_meta), int)
-        rel_probs = scoring.sigmoid(scoring.relation_logits(pooled, ht, tt, w))
+        rel_probs = scoring.sigmoid(scoring.relation_logits(
+            pooled, np.concatenate(ht), np.concatenate(tt), w))
         _emit_triples(docs, pair_meta, rel_probs, cfg)
 
 

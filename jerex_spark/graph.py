@@ -234,8 +234,13 @@ def export_examples_html(graph: DataFrame, path: str,
 
 def write_graph(out_dir: str, canon_triples: DataFrame,
                 canon_ents: DataFrame, edge_df: DataFrame) -> None:
-    (canon_triples.repartition("rel_type")
-     .write.mode("overwrite").partitionBy("rel_type")
-     .parquet(f"{out_dir}/triples"))
-    canon_ents.write.mode("overwrite").parquet(f"{out_dir}/entities")
-    edge_df.write.mode("overwrite").parquet(f"{out_dir}/edges")
+    """S7 sinks: triples partitioned by rel_type (low cardinality,
+    stable — consumers prune partitions), entities and edges flat.
+    ``out_dir`` may be a path (parquet) or an ``iceberg:<db>`` prefix
+    (atomic snapshot-commit tables) — see sources.write_table."""
+    from .sources import is_table_ref, write_table
+    sep = "." if is_table_ref(out_dir) else "/"
+    write_table(canon_triples, f"{out_dir}{sep}triples",
+                partition_by=("rel_type",))
+    write_table(canon_ents, f"{out_dir}{sep}entities")
+    write_table(edge_df, f"{out_dir}{sep}edges")

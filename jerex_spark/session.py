@@ -45,6 +45,19 @@ def build_session(app: str = "jerex-spark", master: str | None = None,
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
+    # Iceberg catalog passthrough (sources.py): on a cluster launched
+    # with --packages org.apache.iceberg:iceberg-spark-runtime-..., set
+    # SPARK_GRAFT_ICEBERG_CATALOG=<name> (plus optional _TYPE /
+    # _WAREHOUSE) and `iceberg:<name>.db.table` refs resolve.
+    catalog = os.environ.get("SPARK_GRAFT_ICEBERG_CATALOG")
+    if catalog:
+        b = (b.config(f"spark.sql.catalog.{catalog}",
+                      "org.apache.iceberg.spark.SparkCatalog")
+             .config(f"spark.sql.catalog.{catalog}.type",
+                     os.environ.get("SPARK_GRAFT_ICEBERG_TYPE", "hadoop"))
+             .config(f"spark.sql.catalog.{catalog}.warehouse",
+                     os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE",
+                                    "spark-warehouse/iceberg")))
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

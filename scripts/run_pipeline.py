@@ -42,9 +42,12 @@ def main():
     from jerex_spark.pipeline import kg_tables, salted_repartition
     from jerex_spark.session import build_session
 
+    from jerex_spark.sources import read_table
+
     spark = build_session(app="jerex-kg-pipeline", master=args.master)
 
-    pages = spark.read.parquet(args.input)
+    # --input/--output accept parquet paths or iceberg:<tbl> refs
+    pages = read_table(spark, args.input)
 
     @F.pandas_udf("string")
     def extract_text_udf(s: pd.Series) -> pd.Series:
@@ -68,7 +71,7 @@ def main():
     t = kg_tables(graph)
     ents = entity_phrases(t["mentions"], t["entities"])
     if args.alias:
-        alias = spark.read.parquet(args.alias)
+        alias = read_table(spark, args.alias)
     else:
         alias = spark.createDataFrame([], "alias string, canonical_id string")
     canon = canonicalize_entities(ents, alias)
