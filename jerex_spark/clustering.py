@@ -29,40 +29,44 @@ import numpy as np
 def complete_linkage(dist: np.ndarray, threshold: float) -> list[list[int]]:
     """Cluster ``n`` items given an (n, n) distance matrix (upper triangle
     authoritative).  Returns clusters as sorted member lists, ordered by
-    min member index."""
+    min member index.
+
+    Vectorized Lance-Williams form: a cluster-level distance matrix is
+    maintained under the complete-link max rule (d(a∪b, c) =
+    max(d(a,c), d(b,c)) — exact, max is associative), each cluster
+    labeled by its minimum member index.  ``np.argmin``'s first-hit
+    row-major scan over the upper triangle IS the deterministic
+    tie-break (smallest distance, then smallest head-cluster min
+    member, then smallest tail) that the previous per-pair Python loop
+    implemented — same clusters on every input, O(n^2) numpy per merge
+    instead of a Python quadruple loop."""
     n = dist.shape[0]
     if n == 0:
         return []
     if n == 1:
         return [[0]]
-    clusters: list[list[int]] = [[i] for i in range(n)]
-
-    def cl_dist(a: list[int], b: list[int]) -> float:
-        mx = -np.inf
-        for i in a:
-            for j in b:
-                lo, hi = (i, j) if i < j else (j, i)
-                v = dist[lo, hi]
-                if v > mx:
-                    mx = v
-        return mx
-
-    while len(clusters) > 1:
-        best = None
-        best_d = None
-        for ai in range(len(clusters)):
-            for bi in range(ai + 1, len(clusters)):
-                d = cl_dist(clusters[ai], clusters[bi])
-                key = (d, clusters[ai][0], clusters[bi][0])
-                if best_d is None or key < best_d:
-                    best_d = key
-                    best = (ai, bi)
-        if best_d is None or best_d[0] >= threshold:
+    W = np.full((n, n), np.inf, dtype=np.float64)
+    iu = np.triu_indices(n, 1)
+    W[iu] = dist[iu]
+    members: dict[int, list[int]] = {i: [i] for i in range(n)}
+    while len(members) > 1:
+        flat = int(np.argmin(W))
+        i, j = divmod(flat, n)
+        if not np.isfinite(W[i, j]) or W[i, j] >= threshold:
             break
-        ai, bi = best
-        merged = sorted(clusters[ai] + clusters[bi])
-        clusters = [c for k, c in enumerate(clusters) if k not in (ai, bi)]
-        clusters.append(merged)
-        clusters.sort(key=lambda c: c[0])
-    clusters.sort(key=lambda c: c[0])
-    return clusters
+        # merge j into i (i < j: only the upper triangle is finite, so
+        # the merged cluster keeps the smaller min-member label)
+        di = np.full(n, np.inf)
+        di[:i] = W[:i, i]
+        di[i + 1:] = W[i, i + 1:]
+        dj = np.full(n, np.inf)
+        dj[:j] = W[:j, j]
+        dj[j + 1:] = W[j, j + 1:]
+        nd = np.maximum(di, dj)
+        W[:i, i] = nd[:i]
+        W[i, i + 1:] = nd[i + 1:]
+        W[i, i] = np.inf
+        W[j, :] = np.inf
+        W[:, j] = np.inf
+        members[i] = sorted(members[i] + members.pop(j))
+    return [members[k] for k in sorted(members)]

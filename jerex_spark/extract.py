@@ -267,14 +267,20 @@ def _relations_multi_instance(docs: list, all_ent: np.ndarray,
             (len(carr[a]) * len(carr[b]) for a, b in pairs),
             np.int64, len(pairs))
         # A4 context pool: max over sub-words strictly between the two
-        # mentions; zero where adjacent/overlapping
+        # mentions; zero where adjacent/overlapping.  Sparse-table
+        # window max (power-of-two levels over h, O(T log T) once per
+        # doc, O(1) per pair) — a flat gather of all windows is
+        # O(sum window lengths) and blows memory on long docs with
+        # many entity pairs (windows here span whole documents, unlike
+        # mention spans)
         lo = np.minimum(m_se[mi_idx], m_se[mj_idx])
         hi = np.maximum(m_ss[mi_idx], m_ss[mj_idx])
         ctx = np.zeros((len(mi_idx), cfg.hidden_size), dtype=np.float32)
         valid = hi > lo
         if valid.any():
-            ctx[valid] = scoring.span_maxpool(
-                st["h"], lo[valid], hi[valid])
+            sizes_v = (hi - lo)[valid]
+            ctx[valid] = scoring.span_maxpool_windows(
+                st["h"], lo[valid], sizes_v, int(sizes_v.max()))
         mp_ctx.append(ctx)
         mp_m1.append(st["mrepr"][mi_idx])
         mp_m2.append(st["mrepr"][mj_idx])

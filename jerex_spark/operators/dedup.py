@@ -204,9 +204,75 @@ WHERE ROUND(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 4) >= 0.5
 """
 
 
+# --- embedding-cosine near-dup ------------------------------------------
+# the synthetic embeddings are near-uniform (max pairwise cosine ~0.51
+# at sf0.01); 0.45 keeps ~the top 0.01% of pairs as "near-dups"
+COS_DUP_THRESHOLD = 0.45
+
+
+def embdup_cosine_exact(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD):
+    """Embedding-cosine near-duplicate pairs, exact O(n^2) baseline
+    (correctness anchor for the LSH-gated variant below; JVM-side
+    zip_with/aggregate dot products, broadcast one side at this scale).
+    """
+    from .similarity import _DOT, _emb, _with_norm
+    e = _with_norm(_emb(spark, sf_dir))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
+                 F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
+                 F.col("norm").alias("nb"))
+    cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    return (a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(cos, 6).alias("cos6"))
+            .filter(F.col("cos6") >= threshold)
+            .select("id_a", "id_b", F.round("cos6", 4).alias("cos")))
+
+
+EMBDUP_EXACT_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm
+      FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6)
+           AS cos6
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(cos6, 4) AS cos
+FROM p WHERE cos6 >= {COS_DUP_THRESHOLD}
+"""
+
+
+def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD):
+    """Embedding-cosine near-dup, scale path: sign-LSH band blocking
+    (shared with similarity.lsh_topk) -> exact cosine only within
+    shared buckets.  Candidates are O(bucket collisions), never
+    O(n^2); high-cosine pairs collide in some band with high
+    probability (recall vs the exact baseline asserted in
+    tests/test_similarity.py).  Approximate -> rows-only check."""
+    from ..caching import persist_tracked
+    from .similarity import _DOT, _band_buckets, _emb, _with_norm
+    e = persist_tracked(_with_norm(_emb(spark, sf_dir)))
+    ba = _band_buckets(e)
+    bb = (ba.select(F.col("vec_id").alias("id_b"),
+                    F.col("vec").alias("vb"), F.col("norm").alias("nb"),
+                    "band", "bucket"))
+    cos = F.expr(_DOT.format(a="vec", b="vb")) / (
+        F.col("norm") * F.col("nb"))
+    return (ba.join(bb, ["band", "bucket"])
+            .filter(F.col("vec_id") < F.col("id_b"))
+            .select(F.col("vec_id").alias("id_a"), "id_b",
+                    F.round(cos, 6).alias("cos6"))
+            .filter(F.col("cos6") >= threshold)
+            .select("id_a", "id_b", F.round("cos6", 4).alias("cos"))
+            .distinct())
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_lsh_verified": (dedup_lsh_verified, DEDUP_VERIFIED_SQL),
+    "embdup_cosine_exact": (embdup_cosine_exact, EMBDUP_EXACT_SQL),
+    "embdup_cosine_lsh": (embdup_cosine_lsh, None),
 }

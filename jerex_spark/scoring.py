@@ -128,9 +128,15 @@ def mention_logits(span_repr: np.ndarray, sizes: np.ndarray,
     rounding is identical between them.
     """
     d = span_repr.shape[1]
-    # size_emb @ men_w1[d:] has only max_span_size+1 distinct rows
-    size_part = w.size_emb @ w.men_w1[d:]
-    hidden = relu(span_repr @ w.men_w1[:d] + size_part[sizes] + w.men_b1)
+    # size_emb @ men_w1[d:] has only max_span_size+1 distinct rows;
+    # fold the bias in so the per-span adds below stay a single pass
+    size_part = w.size_emb @ w.men_w1[d:] + w.men_b1
+    # in-place accumulate: same left-to-right fp32 op order as
+    # (span@W + size_part[sizes]) + b1, one (n, d) temporary instead
+    # of four — this head runs over EVERY span candidate in the corpus
+    hidden = span_repr @ w.men_w1[:d]
+    hidden += size_part[sizes]
+    np.maximum(hidden, np.float32(0), out=hidden)
     return (hidden @ w.men_w2 + np.float32(w.men_b2)).astype(np.float32)
 
 

@@ -1,0 +1,99 @@
+"""Structured Streaming surfaces (SURVEY.md §2.10/§2.12).
+
+The fused extract operator is stateless, so continuous crawl ingestion
+is just ``readStream -> extract_graph -> writeStream`` (tested in
+tests/test_streaming.py).  This module adds the stateful pieces a
+continuously-maintained KG needs:
+
+* :func:`streaming_extract` — pages stream (Iceberg incremental or
+  file source, sources.read_pages_stream) through the extract stage;
+* :func:`streaming_entity_rollup` — an incrementally-maintained
+  canonical-entity table via ``applyInPandasWithState``: per
+  canonical_id the state carries (n_mentions, n_batches, first_seen,
+  capped surface sample) and every microbatch emits the updated row.
+  This is the custom stateful operator pattern (Arrow-batched per-key
+  state, executor-local, checkpointable) — the streaming twin of
+  graph.canonical_entity_table.
+
+Scale notes: state is keyed by canonical_id and lives in the state
+store partition that owns the key, so hot entities update in one task
+per microbatch but the per-key state itself is O(max_surfaces) bytes —
+bounded regardless of how many documents mention the entity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .extract import extract_graph
+
+ROLLUP_OUTPUT_SCHEMA = (
+    "canonical_id string, n_mentions long, n_batches long, "
+    "first_seen string, surfaces array<string>")
+ROLLUP_STATE_SCHEMA = (
+    "n_mentions long, n_batches long, first_seen string, "
+    "surfaces array<string>")
+MAX_SURFACES = 20
+
+
+def streaming_extract(spark: SparkSession, ref: str,
+                      schema: str = "doc_key string, text string"
+                      ) -> DataFrame:
+    """Pages stream -> per-document graph rows (stateless; watermarks /
+    sinks are the caller's choice)."""
+    from .sources import read_pages_stream
+    return extract_graph(read_pages_stream(spark, ref, schema))
+
+
+def _rollup_update(key: tuple, pdfs: Iterable[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """Merge this microbatch's mentions of one canonical_id into the
+    running state; emit the updated row.  Deterministic: surfaces are
+    kept as the lexicographically-lowest MAX_SURFACES."""
+    n_new = 0
+    first_seen_new: Any = None
+    surfaces: set = set()
+    for pdf in pdfs:
+        n_new += len(pdf)
+        surfaces.update(pdf["phrase"].dropna())
+        if len(pdf):
+            lo = pdf["doc_key"].min()
+            if first_seen_new is None or lo < first_seen_new:
+                first_seen_new = lo
+    if state.exists:
+        n_mentions, n_batches, first_seen, old_surfaces = state.get
+        surfaces.update(old_surfaces)
+    else:
+        n_mentions, n_batches, first_seen = 0, 0, None
+    n_mentions += n_new
+    n_batches += 1
+    if first_seen is None or (first_seen_new is not None
+                              and first_seen_new < first_seen):
+        first_seen = first_seen_new
+    kept = sorted(surfaces)[:MAX_SURFACES]
+    state.update((n_mentions, n_batches, first_seen, kept))
+    yield pd.DataFrame({
+        "canonical_id": [key[0]], "n_mentions": [n_mentions],
+        "n_batches": [n_batches], "first_seen": [first_seen],
+        "surfaces": [kept]})
+
+
+def streaming_entity_rollup(canon_mentions: DataFrame) -> DataFrame:
+    """canon_mentions stream (canonical_id, doc_key, phrase) ->
+    continuously-updated canonical entity table.
+
+    ``applyInPandasWithState``: Arrow-batched per-key state,
+    update-mode output — each microbatch emits one refreshed row per
+    canonical_id it touched."""
+    return (canon_mentions
+            .groupBy("canonical_id")
+            .applyInPandasWithState(
+                _rollup_update,
+                outputStructType=ROLLUP_OUTPUT_SCHEMA,
+                stateStructType=ROLLUP_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

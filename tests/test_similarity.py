@@ -46,6 +46,22 @@ def test_lsh_topk_deterministic(spark, sf001):
     assert a == b
 
 
+def test_embdup_lsh_recall_vs_exact(spark, sf001):
+    """Embedding-cosine near-dup: the LSH-gated scale path must find
+    most of the exact O(n^2) baseline's pairs, and never a false one
+    (the cosine filter inside the buckets is exact)."""
+    from jerex_spark.operators.dedup import (embdup_cosine_exact,
+                                             embdup_cosine_lsh)
+    exact = {(r.id_a, r.id_b)
+             for r in embdup_cosine_exact(spark, sf001).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in embdup_cosine_lsh(spark, sf001).collect()}
+    assert exact, "threshold too high for the corpus — no dup pairs"
+    assert approx <= exact                      # no false positives
+    recall = len(approx) / len(exact)
+    assert recall >= 0.6, f"embdup LSH recall {recall:.2f}"
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """Exact-dedup as a stateful streaming op: duplicate doc_keys
     across microbatches are dropped by state, not within-batch luck."""

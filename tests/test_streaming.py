@@ -44,6 +44,42 @@ def test_streaming_extract(spark, tmp_path):
     assert got == batch
 
 
+def test_streaming_stateful_entity_rollup(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-key state
+    accumulates ACROSS microbatches (maxFilesPerTrigger=1 forces
+    several), surfaces stay capped, counts end exact."""
+    from jerex_spark.streaming import (MAX_SURFACES,
+                                       streaming_entity_rollup)
+    src = str(tmp_path / "canon_in")
+    rows = [("QHOT" if i % 4 else f"Q{i}", f"d{i:03d}",
+             f"surface_{i % 30}") for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "canonical_id string, doc_key string, phrase string")
+    # several files -> several microbatches
+    df.repartition(6).write.parquet(src)
+    stream = (spark.readStream
+              .schema("canonical_id string, doc_key string, phrase string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (streaming_entity_rollup(stream)
+         .writeStream.format("memory").queryName("ent_rollup")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # update mode: take the LAST emitted row per key
+    final = spark.sql("""
+        select canonical_id, n_mentions, n_batches, first_seen, surfaces
+        from (select *, row_number() over (partition by canonical_id
+                                           order by n_batches desc) rn
+              from ent_rollup) where rn = 1""").collect()
+    by_key = {r.canonical_id: r for r in final}
+    hot = by_key["QHOT"]
+    assert hot.n_mentions == 90                    # exact across batches
+    assert hot.n_batches > 1                       # state really spanned
+    assert hot.first_seen == "d001"
+    assert len(hot.surfaces) == MAX_SURFACES       # capped
+    assert hot.surfaces == sorted(hot.surfaces)
+    assert by_key["Q0"].n_mentions == 1
+
+
 def test_streaming_windowed_watermark(spark, tmp_path):
     src = str(tmp_path / "events_in")
     rows = [(i, f"2024-01-01 00:{i % 50:02d}:00", "error" if i % 3 == 0
