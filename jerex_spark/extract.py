@@ -284,12 +284,16 @@ def _relations_multi_instance(docs: list, all_ent: np.ndarray,
         mp_ctx.append(ctx)
         mp_m1.append(st["mrepr"][mi_idx])
         mp_m2.append(st["mrepr"][mj_idx])
-        # F5 entity-pair repr, expanded to each pair's mention pairs
+        # F5 entity-pair repr: its F7 weight block is evaluated at the
+        # ENTITY-pair level and the (n_pairs, d) result repeated per
+        # mention pair — repeating the 2d-wide input multiplied the
+        # same rows len(cluster_a) x len(cluster_b) times
         a_idx = np.fromiter((a for a, _ in pairs), np.int64, len(pairs))
         b_idx = np.fromiter((b for _, b in pairs), np.int64, len(pairs))
         ep = np.concatenate(
             [all_ent[off + a_idx], all_ent[off + b_idx]], axis=1)
-        mp_pair.append(np.repeat(ep, counts, axis=0))
+        mp_pair.append(np.repeat(scoring.pair_block(ep, w), counts,
+                                 axis=0))
         # F10 distances: ref sampling_common.py:297-315 — distance to
         # the first mention's LAST token (end - 1), adjacent -> 1
         td = np.maximum(0, np.maximum(m_start[mi_idx], m_start[mj_idx])
@@ -306,8 +310,9 @@ def _relations_multi_instance(docs: list, all_ent: np.ndarray,
     if pair_meta:
         mp = scoring.mention_pair_repr(
             np.concatenate(mp_ctx), np.concatenate(mp_m1),
-            np.concatenate(mp_m2), np.concatenate(mp_pair),
-            np.concatenate(mp_td), np.concatenate(mp_sd), w)
+            np.concatenate(mp_m2), None,
+            np.concatenate(mp_td), np.concatenate(mp_sd), w,
+            pair_term=np.concatenate(mp_pair))
         counts = np.concatenate(mp_counts)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         pooled = np.maximum.reduceat(mp, starts, axis=0)

@@ -142,10 +142,19 @@ def mention_logits(span_repr: np.ndarray, sizes: np.ndarray,
 
 def coref_logits(m1: np.ndarray, m2: np.ndarray, ed_bucket: np.ndarray,
                  w: SurrogateWeights) -> np.ndarray:
-    """F3: concat(m1, m2, ed_emb[edit_dist]) -> MLP -> logit."""
-    x = np.concatenate([m1, m2, w.ed_emb[ed_bucket]], axis=1)
-    hidden = relu(x @ w.cor_w1 + w.cor_b1)
-    return (hidden @ w.cor_w2 + np.float32(w.cor_b2)).astype(np.float32)
+    """F3: concat(m1, m2, ed_emb[edit_dist]) -> MLP -> logit.
+
+    Split matmul (see mention_pair_repr): the edit-distance block
+    collapses to a bucket-count-row lookup; no (n, 2d+m) concat."""
+    d = m1.shape[1]
+    W = w.cor_w1
+    ed_part = w.ed_emb @ W[2 * d:]
+    x = m1 @ W[:d]
+    x += m2 @ W[d:2 * d]
+    x += ed_part[ed_bucket]
+    x += w.cor_b1
+    np.maximum(x, np.float32(0), out=x)
+    return (x @ w.cor_w2 + np.float32(w.cor_b2)).astype(np.float32)
 
 
 def entity_type_logits(ent_repr: np.ndarray, w: SurrogateWeights) -> np.ndarray:
@@ -155,16 +164,47 @@ def entity_type_logits(ent_repr: np.ndarray, w: SurrogateWeights) -> np.ndarray:
     return (hidden @ w.ent_w2 + w.ent_b2).astype(np.float32)
 
 
+def pair_block(ep: np.ndarray, w: SurrogateWeights) -> np.ndarray:
+    """The entity-pair block of the F7 linear head, evaluated at the
+    entity-pair level (callers repeat the result per mention pair —
+    cheaper than repeating the 2d-wide input and multiplying per
+    mention pair)."""
+    d = (w.mp_w.shape[0] - 2 * w.tdist_emb.shape[1]) // 5
+    return (ep @ w.mp_w[3 * d:5 * d]).astype(np.float32)
+
+
 def mention_pair_repr(ctx: np.ndarray, m1: np.ndarray, m2: np.ndarray,
                       pair_repr: np.ndarray, tdist: np.ndarray,
-                      sdist: np.ndarray, w: SurrogateWeights) -> np.ndarray:
+                      sdist: np.ndarray, w: SurrogateWeights,
+                      pair_term: np.ndarray | None = None) -> np.ndarray:
     """F7: concat(ctx, m1, m2, entity_pair_repr, tok/sent dist embs) -> Linear.
 
-    ref relation_classification_multi_instance.py:59-87."""
-    x = np.concatenate(
-        [ctx, m1, m2, pair_repr, w.tdist_emb[tdist], w.sdist_emb[sdist]],
-        axis=1)
-    return relu(x @ w.mp_w + w.mp_b).astype(np.float32)
+    ref relation_classification_multi_instance.py:59-87.
+
+    Split matmul: the (n, 5d+2m) concat never materializes — each
+    input block multiplies its own weight slice and accumulates into
+    one (n, d) buffer; the two distance-embedding blocks collapse to
+    bucket-count-row lookup tables.  Same math as ``concat(x) @ W``
+    blockwise; both parity sides share this code path.  ``pair_term``,
+    when given, replaces the entity-pair block with a precomputed
+    ``pair_block(...)`` result (pair_repr is then ignored)."""
+    d = ctx.shape[1]
+    m = w.tdist_emb.shape[1]
+    W = w.mp_w
+    td_part = w.tdist_emb @ W[5 * d:5 * d + m]
+    sd_part = w.sdist_emb @ W[5 * d + m:]
+    x = ctx @ W[:d]
+    x += m1 @ W[d:2 * d]
+    x += m2 @ W[2 * d:3 * d]
+    if pair_term is None:
+        x += pair_repr @ W[3 * d:5 * d]
+    else:
+        x += pair_term
+    x += td_part[tdist]
+    x += sd_part[sdist]
+    x += w.mp_b
+    np.maximum(x, np.float32(0), out=x)
+    return x.astype(np.float32)
 
 
 def relation_logits(pooled: np.ndarray, head_type: np.ndarray,
