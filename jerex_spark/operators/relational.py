@@ -330,8 +330,83 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# --- sessionization: gaps-and-islands over per-user event streams ------
+# The batch formulation of session windows (web-scale clickstream op):
+# a new session starts after a >30 min gap; one shuffle on user_id, two
+# per-key windows, partial-agg rollup.  At 10^12 events: user_id is the
+# partition key (high cardinality, AQE splits hot users), no global
+# state.
+SESSION_GAP_S = 1800
+
+
+def events_sessionize(spark, sf_dir):
+    from pyspark.sql.window import Window
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_s"), "value")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    prev = F.lag("ts_s").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts_s") - prev > SESSION_GAP_S),
+        1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    x = e.withColumn("session_idx", sess)
+    return (x.groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts_s").alias("start_s"),
+                 F.max("ts_s").alias("end_s"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+                 .cast("double").alias("sum_value")))
+
+
+SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         value
+  FROM events),
+x AS (
+  SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL
+                   OR ts_s - LAG(ts_s) OVER w > {SESSION_GAP_S}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+y AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts_s, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_idx
+  FROM x)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value
+FROM y GROUP BY user_id, session_idx
+"""
+
+
+# --- JSON property extraction (semi-structured web payloads) -----------
+def events_props_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("k"), "value")
+    return (e.groupBy("k")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+                 .cast("double").alias("sum_value")))
+
+
+PROPS_JSON_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "j4_nation_pairs": (j4_nation_pairs, J4_SQL),
+    "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
+    "events_props_json": (events_props_json, PROPS_JSON_SQL),
     "a2_elementwise_pool": (a2_elementwise_pool, A2_SQL),
     "cube_orders": (cube_orders, CUBE_SQL),
     "j8_match_stats": (j8_match_stats, J8_SQL),
