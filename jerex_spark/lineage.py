@@ -132,3 +132,18 @@ class CheckpointedStage:
     def metrics(self) -> list[dict]:
         return [e for e in self._read_manifest()
                 if e["stage"] == self.name]
+
+    def throughput_summary(self) -> dict:
+        """Stage-level rollup of the per-group manifest metrics — the
+        operator's throughput record for the run log."""
+        ms = self.metrics()
+        wall_s = sum(e["wall_ms"] for e in ms) / 1000.0
+        rows_in = sum(e["rows_in"] for e in ms)
+        return {
+            "stage": self.name,
+            "groups_done": len(ms),
+            "rows_in": rows_in,
+            "rows_out": sum(e["rows_out"] for e in ms),
+            "wall_s": round(wall_s, 2),
+            "rows_per_sec": round(rows_in / wall_s, 1) if wall_s else 0.0,
+        }

@@ -61,9 +61,11 @@ def main():
 
     docs = salted_repartition(docs)
     if args.checkpoint:
+        import json
         stage = CheckpointedStage("extract", args.checkpoint)
         stage.run(docs, lambda part: extract_graph(part))
         graph = stage.read_output(spark)
+        print(json.dumps(stage.throughput_summary()))
     else:
         graph = extract_graph(docs)
     graph = graph.persist()
