@@ -60,12 +60,21 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
 
 
 def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
-                partition_by: tuple[str, ...] = ()) -> None:
+                partition_by: tuple[str, ...] = (),
+                files_per_value: int = 8) -> None:
     """Partitioned write to an Iceberg table or a parquet path.
 
     Iceberg branch uses DataFrameWriterV2 (createOrReplace /
     append) so the write is a single atomic snapshot commit — the
-    resume-safe sink the lineage layer expects."""
+    resume-safe sink the lineage layer expects.
+
+    Parquet branch repartitions on (partition columns, salt) with
+    ``files_per_value`` salt values: plain repartition on a
+    low-cardinality partition column (e.g. 3 rel_types) would funnel
+    the whole corpus through |values| writer tasks — a straggler at
+    scale — while no repartition leaves one file per (task, value),
+    the small-files explosion.  The salt bounds both: |values| x
+    files_per_value writers, each owning one output file."""
     if is_table_ref(ref):
         spark = df.sparkSession
         if not iceberg_available(spark):
@@ -82,9 +91,11 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
         return
     w = df.write.mode(mode)
     if partition_by:
-        # co-locate rows per partition value first: one file per
-        # (task, value) otherwise — the classic small-files explosion
-        df = df.repartition(*partition_by)
+        from pyspark.sql import functions as F
+        salt = F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+            F.lit(files_per_value))
+        df = df.repartition(*([F.col(c) for c in partition_by] + [salt]))
         w = df.write.mode(mode).partitionBy(*partition_by)
     w.parquet(ref)
 

@@ -31,9 +31,13 @@ def test_parquet_roundtrip_partitioned(spark, tmp_path):
     plan = (back.filter(F.col("rel_type") == "works_at")
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters: [isnotnull(rel_type" in plan, plan
-    # one file per partition value, not per (task, value)
-    files = list((tmp_path / "triples").glob("rel_type=*/*.parquet"))
-    assert len(files) == 3, files
+    # bounded files: between 1 and files_per_value per partition value
+    # (salted repartition — neither one-task-per-value stragglers nor
+    # one file per (task, value) explosion)
+    for v in ["works_at", "based_in", "partner_of"]:
+        n_files = len(list(
+            (tmp_path / "triples").glob(f"rel_type={v}/*.parquet")))
+        assert 1 <= n_files <= 8, (v, n_files)
 
 
 def test_iceberg_branch_gated(spark, tmp_path):
