@@ -41,7 +41,10 @@ DOC_GRAPH_SCHEMA = (
     "entities array<struct<entity_idx:int, type:string, type_score:double, "
     "mention_idxs:array<int>, spans:array<struct<start:int, end:int>>>>, "
     "triples array<struct<head_idx:int, tail_idx:int, rel_type:string, "
-    "score:double>>"
+    "score:double>>, "
+    # per-doc cap truncation flags (SURVEY.md §7.3 item 4: caps are
+    # logged, never silent) — consumers can count/alert on capped docs
+    "truncated struct<spans:boolean, mentions:boolean, pairs:boolean>"
 )
 
 
@@ -66,11 +69,13 @@ def _doc_candidates(text: str, cfg: PipelineConfig):
         base += n
     if not st_parts:
         z = np.zeros(0, dtype=np.int64)
-        return tok, z, z, z
-    starts = np.concatenate(st_parts)[: cfg.max_spans_per_doc]
+        return tok, z, z, z, False
+    all_starts = np.concatenate(st_parts)
+    capped = len(all_starts) > cfg.max_spans_per_doc
+    starts = all_starts[: cfg.max_spans_per_doc]
     ends = np.concatenate(en_parts)[: cfg.max_spans_per_doc]
     sent_idx = np.concatenate(si_parts)[: cfg.max_spans_per_doc]
-    return tok, starts, ends, sent_idx
+    return tok, starts, ends, sent_idx, capped
 
 
 def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
@@ -81,11 +86,13 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     span_sizes = []
     span_off = 0
     for doc_key, text in zip(pdf["doc_key"], pdf["text"]):
-        tok, starts, ends, sent_idx = _doc_candidates(text or "", cfg)
+        tok, starts, ends, sent_idx, spans_capped = _doc_candidates(
+            text or "", cfg)
         h = scoring.encode(tok.encoding, w, cfg)
         st = {"doc_key": doc_key, "tok": tok, "h": h,
               "starts": starts, "ends": ends, "sent_idx": sent_idx,
-              "span_off": span_off}
+              "span_off": span_off, "spans_capped": spans_capped,
+              "pairs_capped": False}
         span_off += len(starts)
         if len(starts):
             tok_ss = np.asarray(tok.sub_start, dtype=np.int64)
@@ -120,6 +127,7 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         off = st["span_off"]
         probs = all_probs[off:off + ns]
         kept = np.where(probs >= cfg.mention_threshold)[0]
+        st["mentions_capped"] = len(kept) > cfg.max_mentions_per_doc
         if len(kept) > cfg.max_mentions_per_doc:
             # cap keeps highest scores, ties by (start, end)
             order = np.lexsort((st["ends"][kept], st["starts"][kept],
@@ -216,6 +224,10 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         "mentions": [st["mentions"] for st in docs],
         "entities": [st["entities"] for st in docs],
         "triples": [st["triples"] for st in docs],
+        "truncated": [{"spans": bool(st["spans_capped"]),
+                       "mentions": bool(st.get("mentions_capped", False)),
+                       "pairs": bool(st["pairs_capped"])}
+                      for st in docs],
     })
 
 
@@ -254,6 +266,7 @@ def _relations_multi_instance(docs: list, all_ent: np.ndarray,
         # budget
         pairs = [(a, b) for a in range(ne) for b in range(ne)
                  if a != b][: cfg.max_rel_pairs_per_doc]
+        st["pairs_capped"] = ne * (ne - 1) > cfg.max_rel_pairs_per_doc
         off = st["ent_off"]
         etypes = np.fromiter(
             (cfg.entity_types.index(e["type"]) for e in st["entities"]),
@@ -335,6 +348,7 @@ def _relations_global(docs: list, all_ent: np.ndarray, et_arg: np.ndarray,
         ne = len(st.get("clusters", []))
         if ne < 2:
             continue
+        st["pairs_capped"] = ne * (ne - 1) > cfg.max_rel_pairs_per_doc
         off = st["ent_off"]
         pair_budget = cfg.max_rel_pairs_per_doc
         for a in range(ne):

@@ -48,13 +48,17 @@ def kg_entities(spark, sf_dir):
 
 
 def kg_doc_stats(spark, sf_dir):
-    """Per-doc pipeline statistics (mentions/entities/triples emitted)."""
+    """Per-doc pipeline statistics (mentions/entities/triples emitted,
+    cap-truncation flags — SURVEY.md §7.3 item 4: never silent)."""
     graph = build_graph(load_documents(spark, sf_dir), DEFAULT)
     return graph.select(
         "doc_key", "n_tokens", "n_spans",
         F.size("mentions").alias("n_mentions"),
         F.size("entities").alias("n_entities"),
-        F.size("triples").alias("n_triples"))
+        F.size("triples").alias("n_triples"),
+        F.col("truncated.spans").alias("spans_capped"),
+        F.col("truncated.mentions").alias("mentions_capped"),
+        F.col("truncated.pairs").alias("pairs_capped"))
 
 
 def kg_token_stats(spark, sf_dir):

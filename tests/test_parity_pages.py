@@ -83,3 +83,36 @@ def test_cap_path_parity(spark):
     gold_m = {(k, m["start"], m["end"], round(m["score"], 4))
               for k, res in golden.items() for m in res.mentions}
     assert spark_m == gold_m
+
+
+def test_truncation_flags_logged_not_silent(spark):
+    """SURVEY §7.3 item 4: per-doc caps set truncation flags — a dense
+    1500-token doc caps spans/mentions/pairs and says so; a small doc
+    does not."""
+    rows = [("dense", " ".join(f"tok{j % 7}" for j in range(1500))),
+            ("small", "alpha beta gamma")]
+    g = {r.doc_key: r for r in extract_graph(
+        spark.createDataFrame(rows, ["doc_key", "text"])).collect()}
+    d = g["dense"].truncated
+    # default max_rel_pairs (16384) exceeds the max reachable pair
+    # count (128 mentions -> <=128 entities -> 16256 pairs), so only
+    # spans/mentions can cap under DEFAULT
+    assert d.spans and d.mentions and not d.pairs
+    s = g["small"].truncated
+    assert not (s.spans or s.mentions or s.pairs)
+
+    # pairs flag: exercised under a tightened budget on a doc with
+    # many DISTINCT-phrase entities (same-phrase mentions coref-merge
+    # into one entity, so the dense doc above has <2 entities)
+    import dataclasses
+
+    from jerex_spark.config import DEFAULT
+    tight = dataclasses.replace(DEFAULT, max_rel_pairs_per_doc=5)
+    rows2 = [("multi", " ".join(f"t{j}" for j in range(3000))),
+             ("small", "alpha beta gamma")]
+    g2 = {r.doc_key: r for r in extract_graph(
+        spark.createDataFrame(rows2, ["doc_key", "text"]), tight)
+        .collect()}
+    assert len(g2["multi"].entities) >= 2
+    assert g2["multi"].truncated.pairs
+    assert not g2["small"].truncated.pairs
