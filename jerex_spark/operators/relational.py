@@ -384,6 +384,52 @@ FROM y GROUP BY user_id, session_idx
 """
 
 
+# --- range (point-in-interval) join -------------------------------------
+# Each error event joins the session interval containing it.  The
+# scale shape: equi-join on the high-cardinality key (user_id) FIRST,
+# range predicate as a post-filter — never a pure theta-join.  A
+# corpus where one user's sessions are huge is AQE-skew-splittable on
+# the equi key.
+def range_join_error_sessions(spark, sf_dir):
+    sessions = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_idx", "start_s", "end_s")
+    errors = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"))
+    return (errors.join(sessions, "user_id")
+            .filter((F.col("ts_s") >= F.col("start_s"))
+                    & (F.col("ts_s") <= F.col("end_s")))
+            .select("event_id", "user_id", "session_idx", "ts_s",
+                    "start_s", "end_s"))
+
+
+RANGE_JOIN_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         value, event_type
+  FROM events),
+x AS (
+  SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL
+                   OR ts_s - LAG(ts_s) OVER w > {SESSION_GAP_S}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+y AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts_s, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_idx
+  FROM x),
+sessions AS (
+  SELECT user_id, session_idx, MIN(ts_s) AS start_s, MAX(ts_s) AS end_s
+  FROM y GROUP BY user_id, session_idx)
+SELECT e.event_id, e.user_id, s.session_idx, e.ts_s, s.start_s, s.end_s
+FROM e JOIN sessions s
+  ON e.user_id = s.user_id
+ AND e.ts_s BETWEEN s.start_s AND s.end_s
+WHERE e.event_type = 'error'
+"""
+
+
 # --- JSON property extraction (semi-structured web payloads) -----------
 def events_props_json(spark, sf_dir):
     e = _t(spark, sf_dir, "events").select(
@@ -407,6 +453,8 @@ QUERIES = {
     "j4_nation_pairs": (j4_nation_pairs, J4_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "events_props_json": (events_props_json, PROPS_JSON_SQL),
+    "range_join_error_sessions": (range_join_error_sessions,
+                                  RANGE_JOIN_SQL),
     "a2_elementwise_pool": (a2_elementwise_pool, A2_SQL),
     "cube_orders": (cube_orders, CUBE_SQL),
     "j8_match_stats": (j8_match_stats, J8_SQL),
