@@ -44,6 +44,23 @@ def test_streaming_extract(spark, tmp_path):
     assert got == batch
 
 
+def test_streaming_extract_wrapper(spark, tmp_path):
+    """streaming.streaming_extract: pages stream through the sources
+    layer -> doc graphs, equal to the batch result."""
+    from jerex_spark.streaming import streaming_extract
+    src, pdf = _write_parquet_dir(spark, tmp_path, n=30)
+    q = (streaming_extract(spark, src)
+         .select("doc_key", F.size("mentions").alias("n_mentions"))
+         .writeStream.format("memory").queryName("stream_wrap")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_key: r.n_mentions
+           for r in spark.sql("select * from stream_wrap").collect()}
+    batch = {r.doc_key: len(r.mentions)
+             for r in extract_graph(spark.createDataFrame(pdf)).collect()}
+    assert got == batch
+
+
 def test_streaming_stateful_entity_rollup(spark, tmp_path):
     """applyInPandasWithState custom stateful operator: per-key state
     accumulates ACROSS microbatches (maxFilesPerTrigger=1 forces
