@@ -145,3 +145,11 @@ def test_weight_artifact_roundtrip(tmp_path):
     s = np.ones(7, dtype=int)
     np.testing.assert_array_equal(scoring.mention_logits(x, s, w),
                                   scoring.mention_logits(x, s, w2))
+    # F6/F9 global-variant weights roundtrip too
+    np.testing.assert_array_equal(w.pair_w, w2.pair_w)
+    t = np.zeros(7, dtype=int)
+    pr = scoring.entity_pair_global_repr(x, x, t, t, w)
+    pr2 = scoring.entity_pair_global_repr(x, x, t, t, w2)
+    np.testing.assert_array_equal(
+        scoring.relation_logits_global(pr, w),
+        scoring.relation_logits_global(pr2, w2))
