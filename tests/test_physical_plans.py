@@ -118,6 +118,16 @@ def test_dedup_lsh_verified_gates_shingle_join(spark, sf001):
         release_persisted()
 
 
+def test_sessionize_single_exchange(spark, sf001):
+    """Sessionization = exactly one shuffle (on user_id) reused by the
+    lag window, the running-sum window, AND the final groupBy — the
+    plan a 10^12-event clickstream needs."""
+    from jerex_spark.operators.relational import events_sessionize
+    plan = _plan(events_sessionize(spark, sf001))
+    assert plan.count("Exchange ") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_aqe_coalesces_small_shuffle(spark, sf001):
     li = spark.read.parquet(f"{sf001}/lineitem.parquet")
     out = (li.groupBy("l_partkey")
