@@ -47,19 +47,30 @@ def _count(df) -> int:
     return df.count()
 
 
-def run_suite(spark, sf_dir):
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def run_suite(spark, sf_dir, runs: int = BENCH_RUNS):
+    """Per-query best-of-``runs``: this host's CPU throughput swings
+    ~2x on ~10s windows (BENCH.md methodology note), so a single cold
+    timing conflates plan cost with host noise — min-of-N is the
+    standard noise-robust estimator of true cost.  The first (cold)
+    timing is kept alongside for the cache/warm-up delta."""
     from jerex_spark.caching import release_persisted
     from jerex_spark.operators import all_queries
     qs = all_queries()
-    timings = {}
-    rows = {}
+    best, cold, rows = {}, {}, {}
     for name in BENCH_QUERIES:
         fn, _sql = qs[name]
-        t0 = time.time()
-        rows[name] = _count(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        release_persisted()
-    return timings, rows
+        for i in range(runs):
+            t0 = time.time()
+            rows[name] = _count(fn(spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            release_persisted()
+            if i == 0:
+                cold[name] = dt
+            best[name] = min(best.get(name, dt), dt)
+    return best, cold, rows
 
 
 def flagship_wall(master: str, sf_dir: str, replicate: int = 1,
@@ -143,16 +154,27 @@ def main():
         # those costs amortize to zero, so steady-state is the honest
         # number; the cold pass is reported separately as warmup_sec
         from jerex_spark.operators import all_queries as _aq
+        # warm-up corpus: the smallest-sf sibling of SF_DIR if present
+        # (don't hardcode a fixture path that may not exist on this
+        # host), else SF_DIR itself — the warm-up is then a full cold
+        # pass, slower but still correct
+        parent = os.path.dirname(SF_DIR.rstrip("/"))
+        warm_dir = os.path.join(parent, "sf0.001")
+        if not os.path.isdir(warm_dir):
+            warm_dir = SF_DIR
         t_w = time.time()
-        _aq()["kg_triples"][0](spark, "/root/testdata/sf0.001").count()
+        _aq()["kg_triples"][0](spark, warm_dir).count()
         warmup = round(time.time() - t_w, 3)
         t0 = time.time()
-        timings, rows = run_suite(spark, SF_DIR)
+        timings, cold, rows = run_suite(spark, SF_DIR)
         total = round(time.time() - t0, 3)
         print(json.dumps({
-            "metric": "bench_suite_wall",
-            "value": total, "unit": "sec",
+            "metric": "bench_suite_best_sum",
+            "value": round(sum(timings.values()), 3), "unit": "sec",
             "queries": timings, "sf": sf,
+            "queries_cold": cold,
+            "runs_per_query": BENCH_RUNS,
+            "suite_wall_all_runs": total,
             "rows": rows,
             "warmup_sec": warmup,
             "docs_per_sec_extract": round(

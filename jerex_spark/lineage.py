@@ -25,6 +25,7 @@ shuffle-free, restartable layout.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -97,11 +98,14 @@ class CheckpointedStage:
             todo = sorted(set(fps) - done)
             if max_groups is not None:
                 todo = todo[:max_groups]
+            schema_fp: str | None = None
             for g in todo:
                 t0 = time.time()
                 part = bucketed.filter(F.col("_group") == g)
                 rows_in = part.count()
                 out = stage_fn(part.drop("_bucket", "_group"))
+                if schema_fp is None:
+                    schema_fp = self._check_schema(out)
                 gdir = os.path.join(self.data_dir, f"group={g}")
                 if os.path.exists(gdir):     # crashed attempt: redo cleanly
                     shutil.rmtree(gdir)
@@ -114,12 +118,35 @@ class CheckpointedStage:
                     "input_fingerprint": fps[g],
                     "rows_in": rows_in, "rows_out": rows_out,
                     "wall_ms": int((time.time() - t0) * 1000),
+                    "schema_fp": schema_fp,
                     "status": "done",
                     "finished_at": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 })
         finally:
             bucketed.unpersist()
+
+    def _check_schema(self, out: DataFrame) -> str:
+        """Fingerprint the stage's output schema and refuse to resume
+        over groups checkpointed under a DIFFERENT schema: appending
+        new-schema parquet next to old-schema groups yields mixed-schema
+        output where the changed column reads as null or missing
+        depending on which footer the reader samples.  The operator
+        must clear ``out_dir`` (or migrate the old groups) after a
+        schema change.  Pre-fingerprint manifests (no ``schema_fp``)
+        are accepted as unknown — they cannot be distinguished."""
+        fp = hashlib.md5(out.schema.json().encode()).hexdigest()[:16]
+        prior = {e.get("schema_fp") for e in self._read_manifest()
+                 if e["stage"] == self.name and e["status"] == "done"}
+        prior.discard(None)
+        if prior and prior != {fp}:
+            raise RuntimeError(
+                f"stage '{self.name}': output schema changed since "
+                f"checkpointed groups were written (manifest fingerprint"
+                f" {sorted(prior)} != current {fp}); resuming would mix "
+                f"schemas in {self.data_dir} — clear the output dir or "
+                f"migrate the existing groups first")
+        return fp
 
     def is_complete(self, df: DataFrame, key: str = "doc_key") -> bool:
         bucketed = self._bucketed(df, key)

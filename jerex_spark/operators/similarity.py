@@ -213,12 +213,19 @@ def _fit_kmeans_np(X, k: int, seed: int = 42,
     thousand training points; fitting distributed (one Spark job per
     iteration) paid ~10s of scheduling for milliseconds of math."""
     import numpy as np
+    if len(X) == 0:
+        raise ValueError(
+            "k-means sample is empty — the embeddings table has no rows")
     rng = np.random.default_rng(seed)
     centers = [X[rng.integers(len(X))]]
     for _ in range(k - 1):
         d2 = np.min(((X[:, None, :] - np.asarray(centers)[None]) ** 2)
                     .sum(-1), axis=1)
-        centers.append(X[rng.choice(len(X), p=d2 / d2.sum())])
+        tot = d2.sum()
+        if tot == 0:        # all sampled vectors identical (or dup-heavy)
+            centers.append(X[rng.integers(len(X))])
+        else:
+            centers.append(X[rng.choice(len(X), p=d2 / tot)])
     C = np.asarray(centers)
     for _ in range(iters):
         assign = np.argmin(((X[:, None, :] - C[None]) ** 2).sum(-1),
@@ -267,15 +274,18 @@ def ivf_topk(spark, sf_dir, top_k: int = TOP_K,
     from ..caching import persist_tracked
 
     emb = persist_tracked(_with_norm(_emb(spark, sf_dir)))
-    # deterministic hash sample, independent of partition layout
-    n_total = emb.count()
-    per_mille = min(1000, 1000 * KMEANS_SAMPLE_TARGET
-                    // max(n_total, 1) + 1)
+    # deterministic pseudo-random sample, independent of partition
+    # layout and corpus size: order by a hash of the id and take the
+    # first KMEANS_SAMPLE_TARGET rows.  Plans as TakeOrderedAndProject
+    # (per-partition top-K heap + driver merge), so exactly ONE pass
+    # over the table and the driver never holds more than TARGET rows —
+    # no extra count() action to size a fraction (the v2 per-mille
+    # scheme needed one, and its 1/1000 floor grew the sample ~n/1000).
     import numpy as np
     sample = np.asarray(
-        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1000))
-                   < per_mille)
-        .orderBy("vec_id").select("vec").toPandas()["vec"].tolist())
+        emb.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(KMEANS_SAMPLE_TARGET).select("vec")
+        .toPandas()["vec"].tolist())
     C = _fit_kmeans_np(sample, N_CELLS)
     assigned = emb.select("vec_id", "vec", "norm",
                           _cell_assign_col(C).alias("cell"))

@@ -63,7 +63,15 @@ def cost_balanced_repartition(df: DataFrame, cost: "F.Column",
 
     Two passes over the input (counts + rank); persist upstream if
     ``cost`` is expensive to recompute.  Scale-safe at any row count:
-    the only driver-independent state is the C x P counts table."""
+    the only driver-independent state is the C x P counts table.
+
+    The two passes observe ``spark_partition_id()`` independently, so a
+    non-deterministic upstream (round-robin repartition, sample, task
+    retry, files changing between jobs) can present a (class, pid)
+    combination in pass 2 that pass 1 never counted.  The offset join
+    is therefore a LEFT join with ``coalesce(_off, 0)``: an unseen
+    combination degrades balance for those rows instead of silently
+    dropping them (an inner join would)."""
     from pyspark.sql.window import Window
     n = n or df.sparkSession.sparkContext.defaultParallelism * 2
     cls = F.floor(F.log2(F.greatest(cost.cast("double") + 1.0, F.lit(1.0))))
@@ -78,7 +86,8 @@ def cost_balanced_repartition(df: DataFrame, cost: "F.Column",
                 Window.partitionBy("_class").orderBy("_pid")
                 .rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0)).alias("_off"))
-    ranked = (src.join(F.broadcast(offs), ["_class", "_pid"])
+    ranked = (src.join(F.broadcast(offs), ["_class", "_pid"], "left")
+              .withColumn("_off", F.coalesce(F.col("_off"), F.lit(0)))
               .withColumn("_rank", F.row_number().over(
                   Window.partitionBy("_class", "_pid")
                   .orderBy(F.col("_cost").desc()))))

@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from jerex_spark.lineage import CheckpointedStage
@@ -73,3 +74,25 @@ def test_fingerprint_invalidation(spark, tmp_path):
         entries = [json.loads(x) for x in f]
     assert len(entries) == 4
     assert len({e["input_fingerprint"] for e in entries}) == 4
+
+
+def test_schema_change_refuses_resume(spark, tmp_path):
+    """Resuming a stage whose output schema changed must fail fast:
+    appending new-schema groups beside old-schema parquet yields
+    mixed-schema output (column null or missing depending on which
+    footer the reader samples)."""
+    out = str(tmp_path / "stage3")
+    st = CheckpointedStage("s3", out, n_buckets=8, group_size=4)
+    df = _input(spark)
+    st.run(df, _stage_fn, max_groups=1)
+
+    def changed(d):
+        return d.select(
+            "doc_key", F.length("text").cast("string").alias("n_chars"))
+
+    with pytest.raises(RuntimeError, match="schema changed"):
+        st.run(df, changed)
+    # unchanged schema resumes normally
+    st.run(df, _stage_fn)
+    assert st.is_complete(df)
+    assert all(e["schema_fp"] for e in st.metrics())

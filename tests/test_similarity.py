@@ -62,6 +62,18 @@ def test_embdup_lsh_recall_vs_exact(spark, sf001):
     assert recall >= 0.6, f"embdup LSH recall {recall:.2f}"
 
 
+def test_kmeans_degenerate_samples():
+    """k-means++ must survive a sample of identical vectors (d2 sums
+    to zero -> uniform fallback) and fail loudly on an empty sample."""
+    import numpy as np
+
+    from jerex_spark.operators.similarity import _fit_kmeans_np
+    C = _fit_kmeans_np(np.ones((50, 8)), 4)
+    assert C.shape == (4, 8) and np.allclose(C, 1.0)
+    with pytest.raises(ValueError, match="empty"):
+        _fit_kmeans_np(np.empty((0, 8)), 4)
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """Exact-dedup as a stateful streaming op: duplicate doc_keys
     across microbatches are dropped by state, not within-batch luck."""
