@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 N_HASHES = 8
 SHINGLE_K = 5
 
+# Hard input-size cap for the two all-pairs EXACT baselines below
+# (ngram_jaccard standalone, embdup_cosine_exact).  They exist as
+# correctness anchors for the LSH-gated scale twins and are O(n^2) by
+# construction: fine at oracle/bench scale, catastrophic pointed at a
+# corpus.  Above the cap they raise instead of launching the job.
+MAX_ALLPAIRS_ROWS = 10_000
+
 # Long-lived sessions (notebooks, services) should release the caches
 # these operators create once the query's final action has run;
 # bench.py and the test session fixture call release_persisted() after
@@ -111,7 +118,28 @@ FROM sig a JOIN sig b
 
 
 # --- exact n-gram Jaccard for candidate pairs ----------------------------
+def _guard_allpairs(df, what: str, scale_twin: str,
+                    max_rows: int | None = None) -> None:
+    """Refuse to launch an all-pairs exact baseline on a big input.
+    The count is one extra (cheap, parquet-footer-driven) action —
+    acceptable for a declared baseline whose whole point is small-scale
+    ground truth."""
+    max_rows = MAX_ALLPAIRS_ROWS if max_rows is None else max_rows
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what} is an O(n^2) exact baseline capped at "
+            f"{max_rows} input rows (got {n}); use {scale_twin} — the "
+            f"LSH-gated scale path — on corpora")
+
+
 def ngram_jaccard(spark, sf_dir, shingles=None):
+    # Standalone invocation (shingles=None) is the unguided all-pairs
+    # baseline -> guarded.  The gated path (dedup_lsh_verified passes
+    # candidate-restricted shingles) is scale-safe and skips the guard.
+    if shingles is None:
+        _guard_allpairs(_docs(spark, sf_dir).select("doc_id"),
+                        "ngram_jaccard", "dedup_lsh_verified")
     # used three times below (counts + both join sides): cache
     sh = _persist(shingles if shingles is not None
                   else _shingles(spark, sf_dir))
@@ -214,9 +242,12 @@ def embdup_cosine_exact(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD):
     """Embedding-cosine near-duplicate pairs, exact O(n^2) baseline
     (correctness anchor for the LSH-gated variant below; JVM-side
     zip_with/aggregate dot products, broadcast one side at this scale).
-    """
+    Guarded: raises above MAX_ALLPAIRS_ROWS vectors — use
+    embdup_cosine_lsh on corpora."""
     from .similarity import _DOT, _emb, _with_norm
     e = _with_norm(_emb(spark, sf_dir))
+    _guard_allpairs(e.select("vec_id"), "embdup_cosine_exact",
+                    "embdup_cosine_lsh")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
                  F.col("norm").alias("na"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
@@ -243,17 +274,25 @@ FROM p WHERE cos6 >= {COS_DUP_THRESHOLD}
 """
 
 
-def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD):
+# near-dup pairs (cos >= threshold) are CLOSER than generic top-k
+# neighbors, so fewer bands reach full recall than lsh_topk needs:
+# measured recall vs the exact baseline is already 1.0 at 16 x 4 on
+# the synthetic corpus (24 bands would be pure candidate-volume cost)
+EMBDUP_N_BANDS = 16
+
+
+def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
+                      n_bands: int = EMBDUP_N_BANDS):
     """Embedding-cosine near-dup, scale path: sign-LSH band blocking
     (shared with similarity.lsh_topk) -> exact cosine only within
     shared buckets.  Candidates are O(bucket collisions), never
     O(n^2); high-cosine pairs collide in some band with high
-    probability (recall vs the exact baseline asserted in
+    probability (recall vs the exact baseline pinned >= 0.9 in
     tests/test_similarity.py).  Approximate -> rows-only check."""
     from ..caching import persist_tracked
     from .similarity import _DOT, _band_buckets, _emb, _with_norm
     e = persist_tracked(_with_norm(_emb(spark, sf_dir)))
-    ba = _band_buckets(e)
+    ba = _band_buckets(e, n_bands=n_bands)
     bb = (ba.select(F.col("vec_id").alias("id_b"),
                     F.col("vec").alias("vb"), F.col("norm").alias("nb"),
                     "band", "bucket"))

@@ -134,23 +134,38 @@ FROM buck GROUP BY bucket
 
 
 # --- sign-LSH neighbor search: multi-band within-bucket top-k -----------
-# 8 bands x 4 bits: measured recall@5 0.62 vs brute force on the
-# synthetic embeddings (4 bands: 0.36) — more bands = more probes =
-# higher recall at higher candidate volume, the standard LSH dial
-N_BANDS = 8
+# (bands x bits) is the recall/candidate-volume dial.  Measured on the
+# synthetic embeddings at sf0.001 (n=500, recall@5 vs brute force,
+# candidate pairs after dedup; brute = 4990):
+#
+#     8 x 4: 0.62 (1996 pairs)     16 x 5: 0.62 (2000 pairs)
+#    12 x 4: 0.82 (2708 pairs)     20 x 4: 0.92 (3875-)
+#    16 x 4: 0.84 (3207 pairs)     24 x 4: 1.00 (3875 pairs)
+#
+# The synthetic corpus is sign-LSH's WORST case: embeddings are
+# near-uniform (top-5 "neighbors" sit at cos ~0.4-0.5, per-bit
+# collision p ~ 0.63), so hitting recall >= 0.9 needs 24 bands — a
+# candidate fraction approaching brute force at this tiny n.  On a
+# real web corpus near-dups sit at cos >= 0.8 (p ~ 0.80/bit), where
+# e.g. 16 bands x 8 bits gives the same recall at ~n/16 candidates —
+# raise ``band_bits`` with corpus closeness, not just ``n_bands``.
+N_BANDS = 24
 BAND_BITS = 4
 
 
-def _band_buckets(df, vec_col="vec"):
+def _band_buckets(df, vec_col="vec", n_bands: int = None,
+                  band_bits: int = None):
     """(..., band, bucket): one row per (vector, band); bucket = the
-    band's BAND_BITS sign bits.  Multi-band = multi-probe: a neighbor
-    is a candidate if it shares ANY band's bucket, recovering the
-    recall a single long code loses."""
+    band's ``band_bits`` sign bits.  Multi-band = multi-probe: a
+    neighbor is a candidate if it shares ANY band's bucket, recovering
+    the recall a single long code loses."""
+    n_bands = N_BANDS if n_bands is None else n_bands
+    band_bits = BAND_BITS if band_bits is None else band_bits
     rows = []
-    for band in range(N_BANDS):
+    for band in range(n_bands):
         bits = []
-        for i in range(BAND_BITS):
-            p = band * BAND_BITS + i
+        for i in range(band_bits):
+            p = band * band_bits + i
             proj = _DOT.format(a=vec_col, b=_plane_expr(p))
             bits.append(f"case when {proj} >= 0 then '1' else '0' end")
         rows.append(F.struct(F.lit(band).alias("band"),
@@ -161,24 +176,27 @@ def _band_buckets(df, vec_col="vec"):
 
 
 def lsh_topk(spark, sf_dir, top_k: int = TOP_K,
-             n_queries: int = N_QUERIES):
-    """ANN via sign-LSH blocking: bucket every vector under N_BANDS
-    independent BAND_BITS-bit codes, equi-join queries to vectors on
+             n_queries: int = N_QUERIES, n_bands: int = None,
+             band_bits: int = None):
+    """ANN via sign-LSH blocking: bucket every vector under ``n_bands``
+    independent ``band_bits``-bit codes, equi-join queries to vectors on
     (band, bucket), exact cosine only within shared buckets, window
     top-k.  The join is the standard LSH scale shape — candidates are
     O(bucket collisions), never O(n*m).  Approximate -> rows-only
-    check; recall vs brute force asserted in tests/test_similarity.py."""
+    check; recall@5 = 1.0 vs brute force at the default operating
+    point, pinned >= 0.9 in tests/test_similarity.py (see the
+    bands-x-bits table above for the tradeoff)."""
     from pyspark.sql.window import Window
 
     from ..caching import persist_tracked
 
     emb = persist_tracked(_with_norm(_emb(spark, sf_dir)))
-    data_b = _band_buckets(emb)
+    data_b = _band_buckets(emb, n_bands=n_bands, band_bits=band_bits)
     q_b = _band_buckets(
         emb.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_id"),
                 F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")),
-        vec_col="qvec")
+        vec_col="qvec", n_bands=n_bands, band_bits=band_bits)
     cand = (q_b.join(data_b, ["band", "bucket"])
             .filter(F.col("vec_id") != F.col("query_id")))
     cos = F.expr(_DOT.format(a="qvec", b="vec")) / (

@@ -29,15 +29,39 @@ def test_ivf_deterministic(spark, sf001):
 
 def test_lsh_topk_recall_vs_bruteforce(spark, sf001):
     """The sign-LSH path is a real neighbor search (within-bucket
-    top-k), not just bucket statistics; multi-band probing keeps
-    recall usable on these near-uniform synthetic embeddings."""
+    top-k), not just bucket statistics.  The default operating point
+    (24 bands x 4 bits — see the measured bands-x-bits table in
+    similarity.py) must hold recall@5 >= 0.9 even on these
+    near-uniform synthetic embeddings (sign-LSH's worst case), and the
+    candidate set must stay strictly below the brute-force pair count
+    — the whole point of the blocking."""
+    from pyspark.sql import functions as F
+
+    from jerex_spark.operators.similarity import (_band_buckets, _emb,
+                                                  _with_norm, N_QUERIES)
     exact = {(r.query_id, r.neighbor_id)
              for r in ann_cosine_topk(spark, sf001).collect()}
     approx = {(r.query_id, r.neighbor_id)
               for r in lsh_topk(spark, sf001).collect()}
     assert approx, "lsh returned nothing"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4, f"LSH recall@5 {recall:.2f}"
+    assert recall >= 0.9, f"LSH recall@5 {recall:.2f}"
+
+    # candidate volume at the same operating point
+    emb = _with_norm(_emb(spark, sf001))
+    n = emb.count()
+    data_b = _band_buckets(emb)
+    q_b = _band_buckets(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("vec").alias("qvec")), vec_col="qvec")
+    cand = (q_b.join(data_b, ["band", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id").distinct().count())
+    brute = N_QUERIES * (n - 1)
+    print(f"lsh_topk candidates: {cand} / brute {brute} "
+          f"({cand / brute:.2f}) at recall {recall:.2f}")
+    assert cand < brute
 
 
 def test_lsh_topk_deterministic(spark, sf001):
@@ -59,7 +83,23 @@ def test_embdup_lsh_recall_vs_exact(spark, sf001):
     assert exact, "threshold too high for the corpus — no dup pairs"
     assert approx <= exact                      # no false positives
     recall = len(approx) / len(exact)
-    assert recall >= 0.6, f"embdup LSH recall {recall:.2f}"
+    assert recall >= 0.9, f"embdup LSH recall {recall:.2f}"
+
+
+def test_allpairs_baselines_guarded(spark, sf001):
+    """The two O(n^2) exact anchors refuse corpus-sized inputs."""
+    import jerex_spark.operators.dedup as D
+    orig = D.MAX_ALLPAIRS_ROWS
+    D.MAX_ALLPAIRS_ROWS = 10
+    try:
+        with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+            D.ngram_jaccard(spark, sf001)
+        with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+            D.embdup_cosine_exact(spark, sf001)
+    finally:
+        D.MAX_ALLPAIRS_ROWS = orig
+    # under the cap both still run (oracle keeps them green at sf0.01)
+    assert D.ngram_jaccard(spark, sf001).count() > 0
 
 
 def test_kmeans_degenerate_samples():
