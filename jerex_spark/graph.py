@@ -131,20 +131,41 @@ def edges(canon_triples: DataFrame) -> DataFrame:
                  F.array_sort(F.collect_set("rel_type")).alias("rel_types")))
 
 
-def export_predictions_json(graph: DataFrame, path: str) -> None:
-    """S7: per-document predictions export (mentions, entity clusters
-    as mention-idx lists + type, relations) — the shape of the
-    reference's predictions.json sink
-    (ref jerex/evaluation/joint_evaluator.py:111-135), written as
-    distributed JSON lines instead of a rank-0 spool."""
-    (graph.select("doc_key", "mentions",
-                  F.transform("entities", lambda e: F.struct(
-                      e.mention_idxs.alias("mentions"),
-                      e.type.alias("type"))).alias("entities"),
-                  F.transform("triples", lambda t: F.struct(
-                      t.head_idx.alias("head"),
-                      t.tail_idx.alias("tail"),
-                      t.rel_type.alias("type"))).alias("relations"))
+def export_predictions_json(graph: DataFrame, documents: DataFrame,
+                            path: str) -> None:
+    """S7: per-document predictions export with the REFERENCE's exact
+    per-doc key shapes (ref jerex/evaluation/joint_evaluator.py:111-135
+    store_predictions):
+
+    * ``tokens``    — the document's token phrases
+    * ``mentions``  — ``[{start, end}]`` token spans
+    * ``entities``  — ``[{mentions: [mention idx], type}]``
+    * ``relations`` — ``[{head, tail, type}]`` (entity-list indices)
+
+    plus ``doc_key`` for addressability, written as distributed JSON
+    lines instead of the reference's rank-0 single-array spool (each
+    line is one document object; concatenating the lines in any order
+    reproduces the reference's array content).  ``tokens`` is derived
+    JVM-side: the tokenizer's flat token sequence is exactly the
+    whitespace split of the text (sentence splitting only re-groups,
+    tokenization.py split_sentences), asserted against the Python
+    tokenizer in tests."""
+    docs = documents.select("doc_key", "text")
+    tokens = F.filter(F.split(F.col("text"), r"\s+"),
+                      lambda x: x != "")
+    (graph.join(docs, "doc_key", "left")
+     .select("doc_key",
+             tokens.alias("tokens"),
+             F.transform("mentions", lambda m: F.struct(
+                 m.start.alias("start"),
+                 m.end.alias("end"))).alias("mentions"),
+             F.transform("entities", lambda e: F.struct(
+                 e.mention_idxs.alias("mentions"),
+                 e.type.alias("type"))).alias("entities"),
+             F.transform("triples", lambda t: F.struct(
+                 t.head_idx.alias("head"),
+                 t.tail_idx.alias("tail"),
+                 t.rel_type.alias("type"))).alias("relations"))
      .write.mode("overwrite").json(path))
 
 

@@ -260,3 +260,27 @@ def triple_identity(doc_key: str, t: dict) -> tuple:
             tuple(map(tuple, t["head_key"])), t["head_type"],
             tuple(map(tuple, t["tail_key"])), t["tail_type"],
             t["rel_type"])
+
+
+def store_predictions_ref(results: list[DocResult], texts: dict[str, str],
+                          cfg: PipelineConfig = DEFAULT) -> list[dict]:
+    """Reference-layout per-document prediction dicts — the plain-Python
+    twin of graph.export_predictions_json, mirroring the key shapes of
+    ref jerex/evaluation/joint_evaluator.py:111-135 store_predictions:
+    tokens (token phrases), mentions [{start, end}], entities
+    [{mentions: [mention idx], type}], relations [{head, tail, type}].
+    Used as the golden file for the S7 sink parity test."""
+    out = []
+    for res in results:
+        tok = tokenize_document(texts[res.doc_key], cfg)
+        out.append({
+            "doc_key": res.doc_key,
+            "tokens": list(tok.phrases),
+            "mentions": [{"start": m["start"], "end": m["end"]}
+                         for m in res.mentions],
+            "entities": [{"mentions": e["mention_idxs"], "type": e["type"]}
+                         for e in res.entities],
+            "relations": [{"head": t["head_idx"], "tail": t["tail_idx"],
+                           "type": t["rel_type"]} for t in res.triples],
+        })
+    return out

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 
 from . import scoring
 from .config import DEFAULT, PipelineConfig
+from .extract import _doc_candidates
 from .tokenization import tokenize_document
 from .weights import load_weights
 
@@ -56,29 +57,20 @@ def _doc_mention_reprs(tok, ments, w, cfg):
 
 def _run_mention(row, w, cfg):
     """MentionLocalizationModel (ref classification_models.py:23-63):
-    F2 over every candidate span of the document."""
-    tok = tokenize_document(row.text, cfg)
-    spans = []
-    base = 0
-    for sent in tok.sentences:
-        n = len(sent)
-        for size in range(1, cfg.max_span_size + 1):
-            for st in range(0, n - size + 1):
-                spans.append((base + st, base + st + size))
-        base += n
-    spans = spans[: cfg.max_spans_per_doc]
-    if not spans:
+    F2 over every candidate span of the document.  Span enumeration is
+    shared with the joint pipeline (extract._doc_candidates) — one
+    enumerator, one place for the intra-sentence / cap semantics."""
+    tok, starts, ends, _sent_idx, _capped = _doc_candidates(row.text, cfg)
+    if not len(starts):
         return
     h = scoring.encode(tok.encoding, w, cfg)
-    ss = np.fromiter((tok.sub_start[s] for s, _ in spans), np.int64,
-                     len(spans))
-    se = np.fromiter((tok.sub_end[e - 1] for _, e in spans), np.int64,
-                     len(spans))
+    ss = np.asarray(tok.sub_start, dtype=np.int64)[starts]
+    se = np.asarray(tok.sub_end, dtype=np.int64)[ends - 1]
     reprs = scoring.span_maxpool(h, ss, se)
-    sizes = np.fromiter((e - s for s, e in spans), np.int64, len(spans))
-    probs = scoring.sigmoid(scoring.mention_logits(reprs, sizes, w))
-    for (s, e), p in zip(spans, probs):
-        yield (row.doc_key, s, e, float(p),
+    probs = scoring.sigmoid(
+        scoring.mention_logits(reprs, ends - starts, w))
+    for s, e, p in zip(starts, ends, probs):
+        yield (row.doc_key, int(s), int(e), float(p),
                int(p >= cfg.mention_threshold))
 
 

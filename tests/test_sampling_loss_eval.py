@@ -201,23 +201,41 @@ def test_five_layer_eval(spark):
 
 
 # --- S7 sink --------------------------------------------------------------
-def test_predictions_json_sink(spark, tmp_path):
+def test_predictions_json_sink_golden_vs_reference(spark, tmp_path):
+    """S7 golden-file parity: the distributed JSON sink must emit, per
+    document, exactly the reference layout (tokens / mentions /
+    entities / relations with the ref's key shapes, joint_evaluator.py
+    store_predictions) — compared field-for-field against the
+    independent plain-Python reference executor."""
     from jerex_spark.corpus import make_pages
     from jerex_spark.extract import extract_graph
     from jerex_spark.graph import export_predictions_json
+    from jerex_spark.reference_executor import (run_document,
+                                                store_predictions_ref)
     pdf = make_pages(30)[["url", "text"]].rename(columns={"url": "doc_key"})
-    g = extract_graph(spark.createDataFrame(pdf))
+    docs_df = spark.createDataFrame(pdf)
+    g = extract_graph(docs_df)
     out = str(tmp_path / "preds")
-    export_predictions_json(g, out)
+    export_predictions_json(g, docs_df, out)
     files = [f for f in os.listdir(out) if f.endswith(".json")]
     rows = []
     for f in files:
         with open(os.path.join(out, f)) as fh:
             rows += [json.loads(x) for x in fh if x.strip()]
     assert len(rows) == 30
-    r = next(x for x in rows if x.get("entities"))
-    assert set(r) >= {"doc_key", "mentions", "entities", "relations"}
-    assert all("type" in e and "mentions" in e for e in r["entities"])
+    got = {r["doc_key"]: r for r in rows}
+
+    texts = dict(zip(pdf["doc_key"], pdf["text"]))
+    golden = store_predictions_ref(
+        [run_document(k, t) for k, t in texts.items()], texts)
+    assert len(golden) == 30
+    for want in golden:
+        have = got[want["doc_key"]]
+        # json round-trips structs with keys intact; compare verbatim
+        assert have["tokens"] == want["tokens"], want["doc_key"]
+        assert have["mentions"] == want["mentions"], want["doc_key"]
+        assert have["entities"] == want["entities"], want["doc_key"]
+        assert have["relations"] == want["relations"], want["doc_key"]
 
 
 # --- T5 skew smoke ----------------------------------------------------------
