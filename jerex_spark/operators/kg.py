@@ -72,21 +72,44 @@ def kg_token_stats(spark, sf_dir):
                         F.col("n_spans").cast("long").alias("n_spans"))
 
 
-# documents at this corpus have no sentence punctuation and are single-
-# spaced, so tokens = whitespace split and the span closed form applies
-# (capped at max_spans_per_doc)
+# SENTENCE-AWARE closed form for the span count: the tokenizer splits
+# sentences at whitespace preceded by [.!?] (tokenization.py
+# split_sentences), so token-level a sentence break occurs after every
+# token ending in [.!?]; per-sentence span count is the size-1..S
+# closed form, summed per doc and capped at max_spans_per_doc.  DuckDB
+# has no lookbehind regex, so sentence ids come from a running sum of
+# end-of-sentence flags instead of a regex split.  On a corpus without
+# punctuation this degenerates to the whole-doc formula; on a
+# multi-sentence corpus it cross-checks P1's intra-sentence restriction
+# (ref sampling_common.py:85-96) against the mapInPandas tokenizer —
+# exercised in tests/test_oracle_sentences.py.
 KG_TOKEN_STATS_SQL = f"""
-WITH t AS (
-  SELECT source || '/' || doc_id AS doc_key,
-         len(string_split(text, ' ')) AS n_tokens
-  FROM documents)
-SELECT doc_key, n_tokens,
-       least(CAST(least({DEFAULT.max_span_size}, n_tokens)
-                  * (n_tokens + 1)
-                - least({DEFAULT.max_span_size}, n_tokens)
-                  * (least({DEFAULT.max_span_size}, n_tokens) + 1) / 2
-             AS BIGINT), {DEFAULT.max_spans_per_doc}) AS n_spans
-FROM t
+WITH tok AS (
+  SELECT doc_key, generate_subscripts(l, 1) AS i, unnest(l) AS t
+  FROM (SELECT source || '/' || doc_id AS doc_key,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS l
+        FROM documents)),
+s AS (
+  SELECT doc_key, i,
+         COALESCE(SUM(CASE WHEN regexp_matches(t, '[.!?]$')
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_key ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS sent_id
+  FROM tok),
+slen AS (
+  SELECT doc_key, sent_id, COUNT(*) AS n
+  FROM s GROUP BY doc_key, sent_id),
+agg AS (
+  SELECT doc_key, SUM(n) AS n_tokens,
+         SUM(least({DEFAULT.max_span_size}, n) * (n + 1)
+             - least({DEFAULT.max_span_size}, n)
+               * (least({DEFAULT.max_span_size}, n) + 1) // 2) AS raw
+  FROM slen GROUP BY doc_key)
+SELECT doc_key, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(least(raw, {DEFAULT.max_spans_per_doc}) AS BIGINT) AS n_spans
+FROM agg
 """
 
 

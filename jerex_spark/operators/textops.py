@@ -7,9 +7,15 @@ language-ID heuristic, document fingerprinting, simhash.  Every
 operator is pure JVM-side Catalyst expressions (no Python UDFs) with a
 DuckDB oracle.
 
-The corpus has single-space-separated tokens and no sentence
-punctuation, so the whole document is one sentence (matches
-tokenization.split_sentences on this data).
+The P1 queries are SENTENCE-AWARE (the span enumeration's key
+semantic, ref sampling_common.py:85-96: spans never cross sentence
+boundaries): Spark splits sentences with the tokenizer's own lookbehind
+regex, DuckDB (no lookbehind in RE2) derives sentence ids from a
+running sum of end-of-sentence token flags — equivalent because a
+sentence break occurs exactly after a token ending in [.!?].  On the
+punctuation-free driver corpus both degenerate to the whole-doc form;
+tests/test_oracle_sentences.py runs the same pairs cross-engine on a
+multi-sentence corpus.
 """
 
 from __future__ import annotations
@@ -22,49 +28,106 @@ def _toks():
     return F.split(F.col("text"), " ")
 
 
+# tokenization.split_sentences equivalents (JVM-side):
+# sentences -> per-sentence token arrays, empties dropped
+def _sent_tok_arrays():
+    return F.filter(
+        F.transform(F.split(F.col("text"), r"(?<=[.!?])\s+"),
+                    lambda s: F.filter(F.split(s, r"\s+"),
+                                       lambda x: x != "")),
+        lambda a: F.size(a) > 0)
+
+
+_EOS_SENT_SQL = """
+tok AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS idx, unnest(l) AS t
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS l
+        FROM documents)),
+sent_ids AS (
+  SELECT doc_id, idx,
+         COALESCE(SUM(CASE WHEN regexp_matches(t, '[.!?]$')
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS sent_id
+  FROM tok),
+sent AS (
+  SELECT doc_id, sent_id, MIN(idx) AS base, COUNT(*) AS n
+  FROM sent_ids GROUP BY doc_id, sent_id)
+"""
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 # --- P1 closed form: candidate span count per document ------------------
 def p1_span_candidates(spark, sf_dir):
-    k = F.least(F.lit(CFG.max_span_size), F.size(_toks()))
-    n_spans = (k * (F.size(_toks()) + 1) - (k * (k + 1) / 2)).cast("long")
+    """Per-sentence size-1..max_span_size closed form, summed per doc
+    (spans never cross sentences — the P1 restriction)."""
+    lens = _sent_tok_arrays()
+    n_tokens = F.aggregate(lens, F.lit(0),
+                           lambda a, s: a + F.size(s))
+
+    def term(a, s):
+        n = F.size(s)
+        k = F.least(F.lit(CFG.max_span_size), n)
+        return a + (k * (n + 1) - (k * (k + 1) / 2)).cast("long")
+
+    n_spans = F.aggregate(lens, F.lit(0).cast("long"), term)
     return _docs(spark, sf_dir).select(
-        "doc_id", F.size(_toks()).alias("n_tokens"),
-        n_spans.alias("n_spans"))
+        "doc_id", n_tokens.alias("n_tokens"), n_spans.alias("n_spans"))
 
 
 P1_COUNT_SQL = f"""
-SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-       CAST(least({CFG.max_span_size}, len(string_split(text, ' ')))
-            * (len(string_split(text, ' ')) + 1)
-          - least({CFG.max_span_size}, len(string_split(text, ' ')))
-            * (least({CFG.max_span_size}, len(string_split(text, ' '))) + 1)
-            / 2 AS BIGINT) AS n_spans
-FROM documents
+WITH {_EOS_SENT_SQL},
+agg AS (
+  SELECT doc_id, SUM(n) AS n_tokens,
+         SUM(least({CFG.max_span_size}, n) * (n + 1)
+             - least({CFG.max_span_size}, n)
+               * (least({CFG.max_span_size}, n) + 1) // 2) AS raw
+  FROM sent GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(raw AS BIGINT) AS n_spans
+FROM agg
 """
 
 
-# --- P1 relational: exploded span table (sizes 1..3) --------------------
+# --- P1 relational: exploded span table (sizes 1..3), intra-sentence ----
 def p1_spans_rel(spark, sf_dir):
-    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
-    return (d.select("doc_id", F.size("toks").alias("n"),
-                     F.posexplode("toks").alias("start", "tok"))
-            .select("doc_id", "n", "start",
-                    F.explode(F.sequence(F.lit(1), F.lit(3))).alias("size"))
-            .filter(F.col("start") + F.col("size") <= F.col("n"))
+    from pyspark.sql.window import Window
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _sent_tok_arrays().alias("sents"))
+    s = (d.select("doc_id",
+                  F.posexplode("sents").alias("sent_id", "stoks"))
+         .select("doc_id", "sent_id", F.size("stoks").alias("n")))
+    w = (Window.partitionBy("doc_id").orderBy("sent_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    s = s.withColumn("base", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return (s.select("doc_id", "base", "n",
+                     F.explode(F.sequence(F.lit(1), F.lit(3)))
+                     .alias("size"))
+            .filter(F.col("size") <= F.col("n"))
+            .select("doc_id", "size",
+                    F.explode(F.sequence(
+                        F.col("base"),
+                        F.col("base") + F.col("n") - F.col("size")))
+                    .alias("start"))
             .select("doc_id", "start",
                     (F.col("start") + F.col("size")).alias("end")))
 
 
-P1_SPANS_SQL = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-tok AS (SELECT doc_id, len(l) AS n,
-               generate_subscripts(l, 1) - 1 AS start FROM t)
-SELECT doc_id, start, start + sz.size AS "end"
-FROM tok, (SELECT unnest(generate_series(1, 3)) AS size) sz
-WHERE start + sz.size <= n
+P1_SPANS_SQL = f"""
+WITH {_EOS_SENT_SQL},
+spans AS (
+  SELECT doc_id, base, sz.size AS size,
+         unnest(generate_series(0, n - sz.size)) AS off
+  FROM sent, (SELECT unnest(generate_series(1, 3)) AS size) sz
+  WHERE n >= sz.size)
+SELECT doc_id, base + off AS start, base + off + size AS "end"
+FROM spans
 """
 
 
