@@ -181,16 +181,28 @@ def entity_classify_sample(doc_key: str,
 
 def _rel_pos_neg(doc_key: str, gold_clusters, gold_relations,
                  cfg: PipelineConfig):
-    rel_types = {}
-    for h, t, r in gold_relations:
+    """gold_relations items are (head, tail, rel) or (head, tail, rel,
+    evidence) — evidence is the DocRED gold evidence-sentence index
+    list (ref datasets.py:140-159 _parse_relations keeps it on every
+    Relation; entities.py:341-374).  Returns (pairs, multi-hot labels,
+    per-pair evidence) — evidence is the sorted union over the pair's
+    gold relations, empty for sampled negatives."""
+    rel_types: dict = {}
+    rel_ev: dict = {}
+    for rel in gold_relations:
+        h, t, r = rel[0], rel[1], rel[2]
+        ev = rel[3] if len(rel) > 3 and rel[3] is not None else []
         rel_types.setdefault((h, t), set()).add(r)
+        rel_ev.setdefault((h, t), set()).update(ev)
     pos_pairs = sorted(rel_types)
     multi_hot = [[int(r in rel_types[p]) for r in cfg.relation_types]
                  for p in pos_pairs]
+    evidence = [sorted(rel_ev[p]) for p in pos_pairs]
     neg = sample_negative_relations(doc_key, len(gold_clusters),
                                     set(pos_pairs))
     zeros = [[0] * len(cfg.relation_types)] * len(neg)
-    return pos_pairs + neg, multi_hot + zeros
+    return (pos_pairs + neg, multi_hot + zeros,
+            evidence + [[] for _ in neg])
 
 
 def rel_classify_global_sample(doc_key: str,
@@ -202,11 +214,13 @@ def rel_classify_global_sample(doc_key: str,
     (ref sampling_classify.py:12-82 create_rel_global_tensors path):
     ordered entity pairs — gold pairs with multi-hot labels plus
     strong negatives (pairs of labeled entities) — with head/tail
-    entity-type ids (the F6 meta features)."""
-    pairs, labels = _rel_pos_neg(doc_key, gold_clusters, gold_relations,
-                                 cfg)
+    entity-type ids (the F6 meta features) and the gold evidence
+    sentence ids per positive pair."""
+    pairs, labels, evidence = _rel_pos_neg(doc_key, gold_clusters,
+                                           gold_relations, cfg)
     tids = [cfg.entity_types.index(t) for t in gold_types]
     return {"doc_key": doc_key, "pairs": pairs, "labels_multihot": labels,
+            "evidence": evidence,
             "head_type_ids": [tids[a] for a, _ in pairs],
             "tail_type_ids": [tids[b] for _, b in pairs]}
 
@@ -223,8 +237,8 @@ def rel_classify_mi_sample(doc_key: str, text: str,
     with the F10 token/sentence distance features and the A4 context
     window bounds (sub-word coords come from the shared tokenizer)."""
     tok = tokenize_document(text, cfg)
-    pairs, labels = _rel_pos_neg(doc_key, gold_clusters, gold_relations,
-                                 cfg)
+    pairs, labels, evidence = _rel_pos_neg(doc_key, gold_clusters,
+                                           gold_relations, cfg)
     mp_rows = []        # (pair_idx, mi, mj, tok_dist, sent_dist)
     for p_i, (a, b) in enumerate(pairs):
         for mi in gold_clusters[a]:
@@ -238,6 +252,7 @@ def rel_classify_mi_sample(doc_key: str, text: str,
                                 min(td, cfg.token_dist_buckets - 1),
                                 min(sd, cfg.sent_dist_buckets - 1)))
     return {"doc_key": doc_key, "pairs": pairs, "labels_multihot": labels,
+            "evidence": evidence,
             "n_tokens": len(tok.phrases), "mention_pairs": mp_rows}
 
 
@@ -263,13 +278,17 @@ def build_training_samples(doc_key: str, text: str,
     gold_set = set(gold_mentions)
     neg_m = sample_negative_mentions(doc_key, sent_lens, gold_set, cfg)
     pos_c, neg_c = sample_negative_coref_pairs(doc_key, gold_clusters)
-    gold_pairs = {(h, t) for h, t, _ in gold_relations}
+    gold_pairs = {(r[0], r[1]) for r in gold_relations}
     neg_r = sample_negative_relations(doc_key, len(gold_clusters),
                                       gold_pairs)
-    # A5 multi-hot relation labels per gold pair
-    rel_types = {}
-    for h, t, r in gold_relations:
+    # A5 multi-hot relation labels + gold evidence sentences per pair
+    rel_types: dict = {}
+    rel_ev: dict = {}
+    for rel in gold_relations:
+        h, t, r = rel[0], rel[1], rel[2]
         rel_types.setdefault((h, t), set()).add(r)
+        rel_ev.setdefault((h, t), set()).update(
+            rel[3] if len(rel) > 3 and rel[3] is not None else [])
     multi_hot = {
         pair: [int(r in types) for r in cfg.relation_types]
         for pair, types in
@@ -280,6 +299,8 @@ def build_training_samples(doc_key: str, text: str,
         "neg_mentions": neg_m,
         "pos_coref": pos_c, "neg_coref": neg_c,
         "pos_rel_multihot": multi_hot, "neg_rel": neg_r,
+        "pos_rel_evidence": {p: sorted(rel_ev[p])
+                             for p in sorted(rel_ev)},
     }
 
 # --- N5 Spark surface: distributed per-task sample tables ---------------
@@ -288,7 +309,10 @@ def build_training_samples(doc_key: str, text: str,
 #   mentions  array<struct<start:int, end:int, sent_idx:int>>,
 #   clusters  array<array<int>>,
 #   types     array<string>,
-#   relations array<struct<head:int, tail:int, rel:string>>
+#   relations array<struct<head:int, tail:int, rel:string,
+#                          evidence:array<int>>>   (evidence optional —
+#                          DocRED gold evidence sentence ids, ref
+#                          datasets.py:140-159)
 # One mapInPandas per task; each output row is one sample ITEM (span /
 # pair / cluster), so the result is a flat, shuffle-friendly training
 # table — the distributed replacement for the reference's per-task
@@ -304,10 +328,11 @@ _TASK_SCHEMAS = {
         "type_id int",
     "relation_classification_global":
         "doc_key string, head int, tail int, head_type_id int, "
-        "tail_type_id int, labels array<int>",
+        "tail_type_id int, labels array<int>, evidence array<int>",
     "relation_classification_multi_instance":
         "doc_key string, head int, tail int, pair_idx int, m1 int, "
-        "m2 int, tok_dist int, sent_dist int, labels array<int>",
+        "m2 int, tok_dist int, sent_dist int, labels array<int>, "
+        "evidence array<int>",
 }
 
 
@@ -315,7 +340,15 @@ def _task_rows(task: str, row, cfg: PipelineConfig, train: bool):
     ments = [(m["start"], m["end"]) for m in row.mentions]
     sent_idx = [m["sent_idx"] for m in row.mentions]
     clusters = [list(c) for c in row.clusters]
-    rels = [(r["head"], r["tail"], r["rel"]) for r in row.relations]
+
+    def _ev(r):
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        ev = d.get("evidence")
+        # Arrow hands struct fields over as numpy arrays (no bool())
+        return [] if ev is None else [int(x) for x in ev]
+
+    rels = [(r["head"], r["tail"], r["rel"], _ev(r))
+            for r in row.relations]
     if task == "mention_localization":
         s = mention_classify_sample(row.doc_key, row.text, ments, cfg,
                                     train=train)
@@ -334,17 +367,18 @@ def _task_rows(task: str, row, cfg: PipelineConfig, train: bool):
     elif task == "relation_classification_global":
         s = rel_classify_global_sample(row.doc_key, clusters,
                                        list(row.types), rels, cfg)
-        for (a, b), ht, tt, lb in zip(s["pairs"], s["head_type_ids"],
-                                      s["tail_type_ids"],
-                                      s["labels_multihot"]):
-            yield (row.doc_key, a, b, ht, tt, lb)
+        for (a, b), ht, tt, lb, ev in zip(s["pairs"], s["head_type_ids"],
+                                          s["tail_type_ids"],
+                                          s["labels_multihot"],
+                                          s["evidence"]):
+            yield (row.doc_key, a, b, ht, tt, lb, ev)
     elif task == "relation_classification_multi_instance":
         s = rel_classify_mi_sample(row.doc_key, row.text, ments, sent_idx,
                                    clusters, rels, cfg)
         for p_i, mi, mj, td, sd in s["mention_pairs"]:
             a, b = s["pairs"][p_i]
             yield (row.doc_key, a, b, p_i, mi, mj, td, sd,
-                   s["labels_multihot"][p_i])
+                   s["labels_multihot"][p_i], s["evidence"][p_i])
     else:
         raise ValueError(f"unknown task {task!r}")
 

@@ -132,6 +132,48 @@ def test_task_samples_semantics(spark):
     assert td[(1, 2)] == 3
 
 
+def test_gold_evidence_roundtrip(spark):
+    """Gold evidence sentence ids (ref datasets.py:140-159) ride
+    through parse -> sampling into the relation sample tables: union
+    per pair on positives, empty on negatives, and absent-field golds
+    still work (evidence optional)."""
+    from jerex_spark.sampling import build_training_samples, task_samples
+    schema = (
+        "doc_key string, text string, "
+        "mentions array<struct<start:int, end:int, sent_idx:int>>, "
+        "clusters array<array<int>>, types array<string>, "
+        "relations array<struct<head:int, tail:int, rel:string, "
+        "evidence:array<int>>>")
+    rows = [("g/2", "alice works at acme. bob partners with globex.",
+             [(0, 1, 0), (3, 4, 0), (5, 6, 1), (8, 9, 1)],
+             [[0], [1], [2], [3]], ["PER", "ORG", "PER", "ORG"],
+             [(0, 1, "works_at", [0]), (0, 1, "partner_of", [0, 1]),
+              (2, 3, "works_at", [1])])]
+    gold = spark.createDataFrame(rows, schema)
+    for task in ("relation_classification_global",
+                 "relation_classification_multi_instance"):
+        out = task_samples(gold, task).collect()
+        ev = {(r.head, r.tail): list(r.evidence) for r in out}
+        assert ev[(0, 1)] == [0, 1]          # union of the two golds
+        assert ev[(2, 3)] == [1]
+        assert all(list(r.evidence) == [] for r in out
+                   if sum(r.labels) == 0)    # negatives carry none
+    # plain-Python builder carries the same map
+    s = build_training_samples(
+        "g/2", rows[0][1], [(0, 1), (3, 4), (5, 6), (8, 9)],
+        [[0], [1], [2], [3]],
+        [(0, 1, "works_at", [0]), (0, 1, "partner_of", [0, 1]),
+         (2, 3, "works_at", [1])])
+    assert s["pos_rel_evidence"] == {(0, 1): [0, 1], (2, 3): [1]}
+    # evidence-free golds (3-tuples) still sample identically
+    s2 = build_training_samples(
+        "g/2", rows[0][1], [(0, 1), (3, 4), (5, 6), (8, 9)],
+        [[0], [1], [2], [3]],
+        [(0, 1, "works_at"), (0, 1, "partner_of"), (2, 3, "works_at")])
+    assert s2["pos_rel_multihot"] == s["pos_rel_multihot"]
+    assert s2["pos_rel_evidence"] == {(0, 1): [], (2, 3): []}
+
+
 # --- A7 ------------------------------------------------------------------
 def test_bce_matches_closed_form():
     logits = np.array([0.0, 2.0, -2.0], dtype=np.float32)
