@@ -383,20 +383,34 @@ def _emit_triples(docs: list, pair_meta: list, rel_probs: np.ndarray,
 
 
 def extract_graph(documents: DataFrame,
-                  cfg: PipelineConfig = DEFAULT) -> DataFrame:
+                  cfg: PipelineConfig = DEFAULT,
+                  passthrough: tuple[str, ...] = ()) -> DataFrame:
     """documents(doc_key string, text string) -> nested doc-graph rows.
 
     The caller controls partitioning (see pipeline.salted_repartition);
     this operator itself is shuffle-free.
+
+    ``passthrough`` names extra input columns copied verbatim onto the
+    output rows (the batch preserves row order, so this is a positional
+    copy, no join).  The streaming path uses it to keep the event-time
+    column (warc_ts) riding with each extracted graph so a downstream
+    watermarked/windowed sink needs no stream-stream join to recover
+    it.
     """
+    schema = DOC_GRAPH_SCHEMA
+    for c in passthrough:
+        schema += f", {c} {documents.schema[c].dataType.simpleString()}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _extract_batch(pdf, cfg)
+                out = _extract_batch(pdf, cfg)
+                for c in passthrough:
+                    out[c] = pdf[c].to_numpy()
+                yield out
 
-    return documents.select("doc_key", "text").mapInPandas(
-        run, schema=DOC_GRAPH_SCHEMA)
+    return documents.select("doc_key", "text", *passthrough).mapInPandas(
+        run, schema=schema)
 
 
 def explode_mentions(graph: DataFrame) -> DataFrame:

@@ -100,14 +100,18 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
     w.parquet(ref)
 
 
-def read_pages_stream(spark: SparkSession, ref: str, schema: str):
+def read_pages_stream(spark: SparkSession, ref: str, schema: str,
+                      options: dict | None = None):
     """Incremental source (SURVEY.md §2.10): Iceberg streaming read of
     newly committed snapshots, or file-source streaming over a parquet
-    directory — same downstream query graph either way."""
+    directory — same downstream query graph either way.  ``options``
+    are source options (e.g. maxFilesPerTrigger to bound microbatch
+    size)."""
     if is_table_ref(ref):
         if not iceberg_available(spark):
             raise RuntimeError(
                 f"{ref!r} needs iceberg-spark-runtime on the classpath")
         return (spark.readStream.format("iceberg")
-                .load(table_name(ref)))
-    return spark.readStream.schema(schema).parquet(ref)
+                .options(**(options or {})).load(table_name(ref)))
+    return (spark.readStream.schema(schema)
+            .options(**(options or {})).parquet(ref))

@@ -41,12 +41,16 @@ MAX_SURFACES = 20
 
 
 def streaming_extract(spark: SparkSession, ref: str,
-                      schema: str = "doc_key string, text string"
-                      ) -> DataFrame:
+                      schema: str = "doc_key string, text string",
+                      passthrough: tuple[str, ...] = (),
+                      options: dict | None = None) -> DataFrame:
     """Pages stream -> per-document graph rows (stateless; watermarks /
-    sinks are the caller's choice)."""
+    sinks are the caller's choice).  Pass the event-time column (e.g.
+    ``warc_ts``) through ``passthrough`` so a downstream watermarked
+    windowed sink can bound its state without a join."""
     from .sources import read_pages_stream
-    return extract_graph(read_pages_stream(spark, ref, schema))
+    return extract_graph(read_pages_stream(spark, ref, schema, options),
+                         passthrough=passthrough)
 
 
 def _rollup_update(key: tuple, pdfs: Iterable[pd.DataFrame],

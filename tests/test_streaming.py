@@ -97,6 +97,77 @@ def test_streaming_stateful_entity_rollup(spark, tmp_path):
     assert by_key["Q0"].n_mentions == 1
 
 
+def test_streaming_extract_watermark_drops_late(spark, tmp_path):
+    """streaming_extract -> watermarked windowed sink: the event-time
+    column rides through the extract (passthrough, no join), a row
+    arriving after the watermark passed its window is DROPPED, and the
+    windowed state stays bounded to the open windows."""
+    import pandas as pd
+
+    from jerex_spark.streaming import streaming_extract
+    src = tmp_path / "late_in"
+    os.makedirs(src)
+    texts = dict(zip([f"p/{i}" for i in range(6)],
+                     make_pages(6)["text"]))
+
+    def _file(path, specs):
+        pd.DataFrame({
+            "doc_key": [k for k, _ in specs],
+            "text": [texts[k] for k, _ in specs],
+            "warc_ts": pd.to_datetime([t for _, t in specs]),
+        }).to_parquet(path, index=False, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+
+    fs = [str(src / f"f{i}.parquet") for i in range(4)]
+    # batch 0: two docs in window [00:00, 00:10)
+    _file(fs[0], [("p/0", "2024-01-01 00:01:00"),
+                  ("p/1", "2024-01-01 00:02:00")])
+    # batch 1: 01:00 doc -> watermark advances to 00:50 for batch 2
+    _file(fs[1], [("p/2", "2024-01-01 01:00:00")])
+    # batch 2: on-time doc; at batch END the 00:50 watermark EVICTS and
+    # emits window [00:00, 00:10) (Spark evicts at end-of-batch, so a
+    # late row needs the state already gone to be dropped)
+    _file(fs[2], [("p/5", "2024-01-01 01:01:00")])
+    # batch 3: one LATE doc for the closed first window + one on-time
+    _file(fs[3], [("p/3", "2024-01-01 00:05:00"),
+                  ("p/4", "2024-01-01 01:05:00")])
+    now = time.time()
+    for i, f in enumerate(fs):             # file source orders by mtime
+        os.utime(f, (now - 240 + i * 60, now - 240 + i * 60))
+
+    graph = streaming_extract(
+        spark, str(src),
+        schema="doc_key string, text string, warc_ts timestamp",
+        passthrough=("warc_ts",),
+        options={"maxFilesPerTrigger": "1"})   # one file per microbatch
+    agg = (graph.withWatermark("warc_ts", "10 minutes")
+           .groupBy(F.window("warc_ts", "10 minutes"))
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.size("mentions")).alias("n_mentions")))
+    q = (agg.writeStream.format("memory").queryName("late_win")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    progress = q.lastProgress
+    dropped = sum(p["stateOperators"][0].get(
+        "numRowsDroppedByWatermark", 0) for p in q.recentProgress)
+    rows = {tuple(str(x) for x in r.window): r
+            for r in spark.sql("select * from late_win").collect()}
+    w1 = rows[("2024-01-01 00:00:00", "2024-01-01 00:10:00")]
+    assert w1.n_docs == 2, "late row p/3 must be dropped, not counted"
+    assert dropped == 1, f"watermark dropped {dropped} rows, expected 1"
+    # the extract output rode along: mention counts match the batch run
+    batch = {r.doc_key: len(r.mentions) for r in extract_graph(
+        spark.createDataFrame(pd.DataFrame({
+            "doc_key": list(texts), "text": list(texts.values())}))
+    ).collect()}
+    assert w1.n_mentions == batch["p/0"] + batch["p/1"]
+    # open windows (>= watermark 00:55) are not emitted in append mode
+    assert ("2024-01-01 01:00:00", "2024-01-01 01:10:00") not in rows
+    # state bounded: only the still-open windows are retained
+    state = progress["stateOperators"][0]["numRowsTotal"]
+    assert state <= 2, f"windowed state not bounded: {state} rows"
+
+
 def test_streaming_windowed_watermark(spark, tmp_path):
     src = str(tmp_path / "events_in")
     rows = [(i, f"2024-01-01 00:{i % 50:02d}:00", "error" if i % 3 == 0
