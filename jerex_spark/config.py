@@ -31,6 +31,18 @@ class PipelineConfig:
     sent_dist_buckets: int = 30      # sentence-distance embedding table size
     weight_seed: int = 20210211      # frozen-artifact seed (EACL 2021 date)
 
+    # --- real-checkpoint swap (weights.py load_jerex_state_dict,
+    #     wordpiece.py) ---
+    # weights_path: .npz weight artifact overriding the seeded
+    #   surrogate (e.g. exported from a JEREX checkpoint); loaded
+    #   identically in every executor process, so it must be a path
+    #   all workers can read.
+    # wordpiece_vocab: path to a standard vocab.txt; switches the
+    #   sub-word encoder from the crc32 surrogate to WordPiece with
+    #   the reference's offset-map + [UNK]-fallback semantics.
+    weights_path: str | None = None
+    wordpiece_vocab: str | None = None
+
     # --- model variant (ref jerex/models/__init__.py:9-20 registers
     #     'joint_multi_instance' and 'joint_global') ---
     # "multi_instance": F5/F7/F8 mention-pair expansion + MI max-pool

@@ -179,7 +179,11 @@ def mention_pair_repr(ctx: np.ndarray, m1: np.ndarray, m2: np.ndarray,
                       pair_term: np.ndarray | None = None) -> np.ndarray:
     """F7: concat(ctx, m1, m2, entity_pair_repr, tok/sent dist embs) -> Linear.
 
-    ref relation_classification_multi_instance.py:59-87.
+    ref relation_classification_multi_instance.py:59-87.  NOTE: the
+    reference applies NO activation here (``dropout(pair_linear(x))``,
+    line 87) — the max-pooled mention-pair representation keeps its
+    negative components into rel_linear.  Faithful to that (an earlier
+    revision relu'd here, which a real checkpoint would notice).
 
     Split matmul: the (n, 5d+2m) concat never materializes — each
     input block multiplies its own weight slice and accumulates into
@@ -203,7 +207,6 @@ def mention_pair_repr(ctx: np.ndarray, m1: np.ndarray, m2: np.ndarray,
     x += td_part[tdist]
     x += sd_part[sdist]
     x += w.mp_b
-    np.maximum(x, np.float32(0), out=x)
     return x.astype(np.float32)
 
 

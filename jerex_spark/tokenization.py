@@ -44,26 +44,38 @@ def piece_id(piece: str, cfg: PipelineConfig = DEFAULT) -> int:
     )
 
 
-_TOK_CACHE: dict[str, list[int]] = {}
+_TOK_CACHE: dict[tuple[str | None, str], list[int]] = {}
 _TOK_CACHE_MAX = 1 << 18
 
 
 def encode_token(token: str, cfg: PipelineConfig = DEFAULT) -> list[int]:
-    """Sub-word ids for one token; [UNK] fallback for empty encodings.
+    """Sub-word ids for one token; [UNK] fallback for empty encodings
+    (ref datasets.py:94-95 applies the same fallback after
+    ``tokenizer.encode``).
 
-    Memoized per process (web-corpus token distributions are Zipfian,
-    so the hit rate is high); value-transparent."""
-    hit = _TOK_CACHE.get(token)
+    With ``cfg.wordpiece_vocab`` set, the encoder is real WordPiece
+    over that vocab file (wordpiece.py) — the reference's tokenize
+    path; otherwise the crc32 chunk surrogate.  Either way the offset
+    map downstream is identical in shape.
+
+    Memoized per process keyed by (vocab, token) — web-corpus token
+    distributions are Zipfian, so the hit rate is high."""
+    key = (cfg.wordpiece_vocab, token)
+    hit = _TOK_CACHE.get(key)
     if hit is not None:
         return hit
-    if not token:
+    if cfg.wordpiece_vocab is not None:
+        from .wordpiece import get_tokenizer
+        wp = get_tokenizer(cfg.wordpiece_vocab)
+        ids = wp.encode(token) or [wp.unk_id]
+    elif not token:
         ids = [cfg.unk_id]
     else:
         k = cfg.subword_chunk
         ids = [piece_id(token[i:i + k], cfg)
                for i in range(0, len(token), k)] or [cfg.unk_id]
     if len(_TOK_CACHE) < _TOK_CACHE_MAX:
-        _TOK_CACHE[token] = ids
+        _TOK_CACHE[key] = ids
     return ids
 
 

@@ -12,7 +12,12 @@ plausible extractor (coref score decays with edit distance, mention
 score decays with span size) instead of pure noise.
 
 Swapping in real JEREX checkpoint weights is a weight-file change, not
-a code change: every consumer goes through :class:`SurrogateWeights`.
+a code change: every consumer goes through :class:`SurrogateWeights`,
+and :func:`load_jerex_state_dict` maps a checkpoint's state_dict (the
+reference's exact layer names, torch Linear layout) onto this layout —
+tested end-to-end in tests/test_checkpoint_swap.py.  The ``bert.*``
+encoder weights are the stated boundary: the surrogate encoder stands
+in for BERT (torch is unavailable), all scoring heads load for real.
 
 Both the plain-Python reference executor (reference_executor.py) and
 the Spark pipeline (extract.py) load THIS artifact, so triple parity
@@ -93,8 +98,20 @@ def load_weights_npz(path: str) -> SurrogateWeights:
     return SurrogateWeights(**kw)
 
 
+_PATH_CACHE: dict[str, SurrogateWeights] = {}
+
+
 def load_weights(cfg: PipelineConfig = DEFAULT) -> SurrogateWeights:
-    """Build (and memoize) the frozen artifact for ``cfg.weight_seed``."""
+    """Resolve the frozen artifact for ``cfg``: a weight FILE when
+    ``cfg.weights_path`` is set (e.g. a converted JEREX checkpoint —
+    see load_jerex_state_dict), else the seeded surrogate.  Both are
+    memoized per process, so executors pay the load once."""
+    if cfg.weights_path is not None:
+        hit = _PATH_CACHE.get(cfg.weights_path)
+        if hit is None:
+            hit = _PATH_CACHE[cfg.weights_path] = load_weights_npz(
+                cfg.weights_path)
+        return hit
     if cfg.weight_seed in _CACHE:
         return _CACHE[cfg.weight_seed]
     d, m = cfg.hidden_size, cfg.meta_embedding_size
@@ -165,3 +182,142 @@ def load_weights(cfg: PipelineConfig = DEFAULT) -> SurrogateWeights:
     )
     _CACHE[cfg.weight_seed] = w
     return w
+
+
+# --- real JEREX checkpoint -> SurrogateWeights -------------------------
+# torch state_dict key -> (SurrogateWeights field(s), kind).  Key names
+# are the reference's module attribute paths (ref jerex/models/
+# joint_models.py:32-41,156-175,256-270 composed with the layer names
+# in models/modules/mention_localization.py:14-22,
+# coreference_resolution.py:36-50, entity_classification.py:13-17,
+# entity_pair_representation.py:6-27,
+# relation_classification_multi_instance.py:59-105,
+# relation_classification_global.py:10-13).  torch nn.Linear stores
+# weight as (out, in); our matmuls are x @ W with W (in, out), so
+# Linear weights transpose on load.  nn.Embedding weight is (count, m)
+# on both sides.
+_JEREX_HEAD_MAP = {
+    # MentionLocalization
+    "mention_localization.linear.weight": ("men_w1", "linear_w"),
+    "mention_localization.linear.bias": ("men_b1", "bias"),
+    "mention_localization.mention_classifier.weight": ("men_w2", "vec_w"),
+    "mention_localization.mention_classifier.bias": ("men_b2", "scalar"),
+    "mention_localization.size_embeddings.weight": ("size_emb", "emb"),
+    # CoreferenceResolution
+    "coreference_resolution.coref_linear.weight": ("cor_w1", "linear_w"),
+    "coreference_resolution.coref_linear.bias": ("cor_b1", "bias"),
+    "coreference_resolution.coref_classifier.weight": ("cor_w2", "vec_w"),
+    "coreference_resolution.coref_classifier.bias": ("cor_b2", "scalar"),
+    "coreference_resolution.coref_ed_embeddings.weight": ("ed_emb", "emb"),
+    # EntityClassification
+    "entity_classification.linear.weight": ("ent_w1", "linear_w"),
+    "entity_classification.linear.bias": ("ent_b1", "bias"),
+    "entity_classification.entity_classifier.weight": ("ent_w2", "linear_w"),
+    "entity_classification.entity_classifier.bias": ("ent_b2", "bias"),
+    # RelationClassificationMultiInstance
+    "relation_classification.pair_linear.weight": ("mp_w", "linear_w"),
+    "relation_classification.pair_linear.bias": ("mp_b", "bias"),
+    "relation_classification.rel_linear.weight": ("rel_w1", "linear_w"),
+    "relation_classification.rel_linear.bias": ("rel_b1", "bias"),
+    "relation_classification.token_distance_embeddings.weight":
+        ("tdist_emb", "emb"),
+    "relation_classification.sentence_distance_embeddings.weight":
+        ("sdist_emb", "emb"),
+    "relation_classification.entity_type_embeddings.weight":
+        ("etype_emb", "emb"),
+    # EntityPairRepresentation (JointGlobalModel only)
+    "entity_pair_representation.entity_pair_linear.weight":
+        ("pair_w", "linear_w"),
+    "entity_pair_representation.entity_pair_linear.bias":
+        ("pair_b", "bias"),
+    "entity_pair_representation.entity_embeddings.weight":
+        ("etype_emb", "emb"),
+}
+# relation_classification.rel_classifier exists in BOTH model variants
+# with the same shape (n_rel_types, hidden); which SurrogateWeights
+# slot it fills depends on the variant, detected by pair_linear's
+# presence (MI) vs entity_pair_representation's (global).
+
+
+def load_jerex_state_dict(sd: dict, cfg: PipelineConfig = DEFAULT,
+                          base: SurrogateWeights | None = None
+                          ) -> tuple[SurrogateWeights, dict]:
+    """Map a JEREX checkpoint ``state_dict`` (torch tensor / numpy
+    array values under the reference's exact key names) onto the
+    SurrogateWeights layout.  Returns (weights, report) where report
+    lists ``consumed`` keys, ``ignored`` keys (the ``bert.*`` encoder —
+    the scoring surrogate stands in for BERT here, torch being
+    unavailable; swapping the encoder itself is the one remaining
+    boundary and is stated, not hidden) and ``kept_surrogate`` fields
+    (heads absent from this checkpoint variant).
+
+    Every consumed tensor is shape-checked against the cfg-derived
+    expectation; a mismatch raises instead of silently mis-mapping —
+    loading a real DocRED checkpoint therefore needs
+    ``cfg.hidden_size=768`` and the DocRED type ontology, which are
+    plain config values.
+    """
+    import numpy as _np
+
+    def arr(v):
+        a = getattr(v, "detach", lambda: v)()
+        a = getattr(a, "numpy", lambda: a)()
+        return _np.asarray(a, dtype=np.float32)
+
+    fields = dict()
+    consumed, ignored = [], []
+    mi = "relation_classification.pair_linear.weight" in sd
+    glob = ("entity_pair_representation.entity_pair_linear.weight" in sd)
+    if (mi and glob and "entity_pair_representation.entity_embeddings."
+            "weight" in sd
+            and "relation_classification.entity_type_embeddings.weight"
+            in sd):
+        raise ValueError(
+            "state_dict carries BOTH variants' entity-type embeddings; "
+            "a JEREX checkpoint is one model — refusing to guess")
+    for key, v in sd.items():
+        if key.startswith("bert."):
+            ignored.append(key)
+            continue
+        if key == "relation_classification.rel_classifier.weight":
+            fields["rel_w2" if mi else "relg_w"] = arr(v).T
+            consumed.append(key)
+            continue
+        if key == "relation_classification.rel_classifier.bias":
+            fields["rel_b2" if mi else "relg_b"] = arr(v)
+            consumed.append(key)
+            continue
+        if key not in _JEREX_HEAD_MAP:
+            raise ValueError(f"unrecognized state_dict key {key!r} — "
+                             f"not a JEREX head or bert.* parameter")
+        name, kind = _JEREX_HEAD_MAP[key]
+        a = arr(v)
+        if kind == "linear_w":
+            fields[name] = a.T
+        elif kind == "vec_w":           # (1, d) classifier row
+            fields[name] = a.reshape(-1)
+        elif kind == "scalar":          # (1,) bias
+            fields[name] = float(a.reshape(-1)[0])
+        else:                           # embedding (count, m)
+            fields[name] = a
+        consumed.append(key)
+
+    base = base if base is not None else load_weights(cfg)
+    expect = {f: getattr(base, f) for f in _FIELDS}
+    for name, a in fields.items():
+        want = expect[name]
+        if isinstance(want, float):
+            continue
+        if tuple(a.shape) != tuple(want.shape):
+            raise ValueError(
+                f"shape mismatch for {name}: checkpoint "
+                f"{tuple(a.shape)} vs cfg-derived {tuple(want.shape)} — "
+                f"set cfg geometry (hidden_size / meta_embedding_size / "
+                f"type ontology / bucket counts) to the checkpoint's")
+    kept = [f for f in _FIELDS if f not in fields]
+    merged = SurrogateWeights(**{**expect, **fields})
+    report = {"consumed": sorted(consumed), "ignored": sorted(ignored),
+              "kept_surrogate": sorted(kept),
+              "variant": "multi_instance" if mi
+              else ("global" if glob else "heads_common")}
+    return merged, report

@@ -1,0 +1,269 @@
+"""The 'real JEREX checkpoint is a weight-file swap' claim, as tests.
+
+* a synthetic ``state_dict`` with the reference's EXACT key names and
+  torch shapes (layer names per ref jerex/models/modules/*.py) loads
+  onto the SurrogateWeights layout, transposing Linear weights;
+* the loaded artifact drives the Spark pipeline via
+  ``cfg.weights_path`` with EXACT triple parity vs the plain-Python
+  reference executor (both resolve weights through load_weights);
+* WordPiece tokenization (vocab.txt = data) replaces the crc32
+  surrogate behind the same tokenize_document interface, with the
+  reference's offset-map + [UNK]-fallback semantics
+  (ref datasets.py:81-108).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from jerex_spark.config import DEFAULT
+from jerex_spark.weights import (load_jerex_state_dict, load_weights,
+                                 save_weights)
+
+
+def _mi_state_dict(cfg=DEFAULT, seed=7, mention_bias=0.5, coref_bias=1.0,
+                   rel_bias=0.0):
+    """Synthetic JointMultiInstanceModel state_dict: the reference's
+    exact keys, torch-layout shapes ((out, in) Linear weights)."""
+    d, m = cfg.hidden_size, cfg.meta_embedding_size
+    n_et, n_rt = len(cfg.entity_types), len(cfg.relation_types)
+    rng = np.random.default_rng(seed)
+
+    def t(out_dim, in_dim, scale=0.3):        # torch Linear weight
+        return (rng.standard_normal((out_dim, in_dim)) * scale
+                ).astype(np.float32)
+
+    def e(count, width, scale=0.1):           # torch Embedding weight
+        return (rng.standard_normal((count, width)) * scale
+                ).astype(np.float32)
+
+    return {
+        "bert.embeddings.word_embeddings.weight": e(30522, d),
+        "bert.encoder.layer.0.attention.self.query.weight": t(d, d),
+        "mention_localization.linear.weight": t(d, d + m),
+        "mention_localization.linear.bias": np.zeros(d, np.float32),
+        "mention_localization.mention_classifier.weight": t(1, d, 0.6),
+        "mention_localization.mention_classifier.bias":
+            np.full(1, mention_bias, np.float32),
+        "mention_localization.size_embeddings.weight":
+            e(cfg.max_span_size + 1, m),
+        "coreference_resolution.coref_linear.weight": t(d, 2 * d + m),
+        "coreference_resolution.coref_linear.bias": np.zeros(d, np.float32),
+        "coreference_resolution.coref_classifier.weight": t(1, d, 0.4),
+        "coreference_resolution.coref_classifier.bias":
+            np.full(1, coref_bias, np.float32),
+        "coreference_resolution.coref_ed_embeddings.weight":
+            e(cfg.edit_dist_buckets, m),
+        "entity_classification.linear.weight": t(d, d),
+        "entity_classification.linear.bias": np.zeros(d, np.float32),
+        "entity_classification.entity_classifier.weight": t(n_et, d),
+        "entity_classification.entity_classifier.bias":
+            np.zeros(n_et, np.float32),
+        "relation_classification.pair_linear.weight": t(d, 5 * d + 2 * m),
+        "relation_classification.pair_linear.bias": np.zeros(d, np.float32),
+        "relation_classification.rel_linear.weight": t(d, d + 2 * m),
+        "relation_classification.rel_linear.bias": np.zeros(d, np.float32),
+        "relation_classification.rel_classifier.weight": t(n_rt, d),
+        "relation_classification.rel_classifier.bias":
+            np.full(n_rt, rel_bias, np.float32),
+        "relation_classification.token_distance_embeddings.weight":
+            e(cfg.token_dist_buckets, m),
+        "relation_classification.sentence_distance_embeddings.weight":
+            e(cfg.sent_dist_buckets, m),
+        "relation_classification.entity_type_embeddings.weight":
+            e(n_et, m),
+    }
+
+
+def test_loader_maps_and_transposes():
+    sd = _mi_state_dict()
+    w, report = load_jerex_state_dict(sd)
+    assert report["variant"] == "multi_instance"
+    assert all(k.startswith("bert.") for k in report["ignored"])
+    assert len(report["ignored"]) == 2
+    # Linear weights transposed, embeddings verbatim, classifier row
+    # flattened, scalar bias unwrapped
+    np.testing.assert_array_equal(
+        w.men_w1, sd["mention_localization.linear.weight"].T)
+    np.testing.assert_array_equal(
+        w.mp_w, sd["relation_classification.pair_linear.weight"].T)
+    np.testing.assert_array_equal(
+        w.size_emb, sd["mention_localization.size_embeddings.weight"])
+    np.testing.assert_array_equal(
+        w.men_w2,
+        sd["mention_localization.mention_classifier.weight"][0])
+    assert w.men_b2 == 0.5
+    # rel_classifier resolved to the MI slot
+    np.testing.assert_array_equal(
+        w.rel_w2, sd["relation_classification.rel_classifier.weight"].T)
+    # global-only fields stay surrogate
+    assert {"relg_w", "relg_b", "pair_w", "pair_b"} <= set(
+        report["kept_surrogate"])
+    # encoder always surrogate (documented boundary)
+    assert {"tok_emb", "pos_emb", "enc_w"} <= set(report["kept_surrogate"])
+
+
+def test_loader_global_variant():
+    cfg = DEFAULT
+    d, m = cfg.hidden_size, cfg.meta_embedding_size
+    n_et, n_rt = len(cfg.entity_types), len(cfg.relation_types)
+    rng = np.random.default_rng(11)
+    sd = {
+        "entity_pair_representation.entity_pair_linear.weight":
+            rng.standard_normal((d, 2 * d + 2 * m)).astype(np.float32),
+        "entity_pair_representation.entity_pair_linear.bias":
+            np.zeros(d, np.float32),
+        "entity_pair_representation.entity_embeddings.weight":
+            rng.standard_normal((n_et, m)).astype(np.float32),
+        "relation_classification.rel_classifier.weight":
+            rng.standard_normal((n_rt, d)).astype(np.float32),
+        "relation_classification.rel_classifier.bias":
+            np.zeros(n_rt, np.float32),
+    }
+    w, report = load_jerex_state_dict(sd)
+    assert report["variant"] == "global"
+    np.testing.assert_array_equal(
+        w.relg_w, sd["relation_classification.rel_classifier.weight"].T)
+    np.testing.assert_array_equal(
+        w.pair_w,
+        sd["entity_pair_representation.entity_pair_linear.weight"].T)
+    np.testing.assert_array_equal(
+        w.etype_emb,
+        sd["entity_pair_representation.entity_embeddings.weight"])
+
+
+def test_loader_rejects_bad_shapes_and_keys():
+    sd = _mi_state_dict()
+    sd["mention_localization.linear.weight"] = np.zeros(
+        (3, 3), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_jerex_state_dict(sd)
+    with pytest.raises(ValueError, match="unrecognized"):
+        load_jerex_state_dict({"totally.unknown.weight":
+                               np.zeros((1, 1), np.float32)})
+
+
+def test_checkpoint_swap_runs_pipeline_with_parity(spark, tmp_path):
+    """End-to-end: state_dict -> npz artifact -> cfg.weights_path ->
+    Spark extract vs plain-Python reference executor, EXACT triple
+    parity under the loaded (non-surrogate) heads."""
+    from jerex_spark.corpus import make_pages
+    from jerex_spark.extract import extract_graph
+    from jerex_spark.reference_executor import run_document
+    w, _ = load_jerex_state_dict(_mi_state_dict())
+    path = str(tmp_path / "jerex_ckpt.npz")
+    save_weights(w, path)
+    cfg = dataclasses.replace(DEFAULT, weights_path=path)
+    assert load_weights(cfg) is not load_weights(DEFAULT)
+
+    pdf = make_pages(12)[["url", "text"]].rename(columns={"url": "doc_key"})
+    got = {}
+    for r in extract_graph(spark.createDataFrame(pdf), cfg).collect():
+        for t in r.triples:
+            got[(r.doc_key, t.head_idx, t.tail_idx, t.rel_type)] = t.score
+    want = {}
+    n_mentions = 0
+    for k, txt in zip(pdf["doc_key"], pdf["text"]):
+        res = run_document(k, txt, cfg)
+        n_mentions += len(res.mentions)
+        for t in res.triples:
+            want[(k, t["head_idx"], t["tail_idx"], t["rel_type"])] = \
+                t["score"]
+    assert n_mentions > 0, "checkpoint heads produced no mentions"
+    # identity parity EXACT (P = R = 1.0); scores agree to 1e-4 — the
+    # synthetic checkpoint's unscaled weights amplify BLAS blocking
+    # differences between the batched (multi-doc) and per-doc matmul
+    # shapes to ~1e-5, below any threshold the pipeline applies
+    assert set(got) == set(want)
+    assert got, "no triples emitted under the checkpoint heads"
+    assert max(abs(got[k] - want[k]) for k in got) < 1e-4
+
+
+# --- WordPiece ----------------------------------------------------------
+def _vocab(tmp_path):
+    from jerex_spark.wordpiece import write_vocab
+    toks = (["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+            + list("abcdefghijklmnopqrstuvwxyz.,!?-")
+            + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"]
+            + ["alice", "rivera", "acme", "corp", "works", "at", "the",
+               "spring", "##field", "##s", "##ing", "##ed",
+               "un", "##break", "##able"])
+    path = str(tmp_path / "vocab.txt")
+    write_vocab(path, toks)
+    return path, {t: i for i, t in enumerate(toks)}
+
+
+def test_wordpiece_semantics(tmp_path):
+    from jerex_spark.wordpiece import WordPieceTokenizer
+    path, v = _vocab(tmp_path)
+    wp = WordPieceTokenizer.from_file(path)
+    # greedy longest-match-first with ## continuations
+    assert wp.encode("springfield") == [v["spring"], v["##field"]]
+    assert wp.encode("unbreakable") == [v["un"], v["##break"],
+                                        v["##able"]]
+    # basic pass: lowercase + accent strip + punctuation split
+    assert wp.encode("Alice") == [v["alice"]]
+    assert wp.encode("café.") == [v["c"], v["##a"], v["##f"], v["##e"],
+                                  v["."]]
+    # word with any unencodable piece -> whole-word [UNK], even though
+    # a prefix matched (the reference tokenizer's all-or-nothing rule)
+    assert wp.encode("zωx") == [v["[UNK]"]]
+    # empty / whitespace phrase -> [] (caller applies [UNK] fallback,
+    # ref datasets.py:94-95)
+    assert wp.encode("") == [] and wp.encode("  ") == []
+
+
+def test_wordpiece_offset_map_in_tokenize_document(tmp_path):
+    from jerex_spark.tokenization import tokenize_document
+    path, v = _vocab(tmp_path)
+    cfg = dataclasses.replace(DEFAULT, wordpiece_vocab=path)
+    doc = tokenize_document("Alice Rivera works at acme corp. "
+                            "springfields zωx", cfg)
+    # sentence split unchanged; offsets index the WordPiece encoding
+    assert len(doc.sentences) == 2
+    assert doc.encoding[doc.sub_start[0]:doc.sub_end[0]] == [v["alice"]]
+    # 'corp.' basic-splits into corp + '.', both pieces of ONE token
+    i = doc.phrases.index("corp.")
+    assert doc.encoding[doc.sub_start[i]:doc.sub_end[i]] == [
+        v["corp"], v["."]]
+    j = doc.phrases.index("springfields")
+    assert doc.encoding[doc.sub_start[j]:doc.sub_end[j]] == [
+        v["spring"], v["##field"], v["##s"]]
+    k = doc.phrases.index("zωx")
+    assert doc.encoding[doc.sub_start[k]:doc.sub_end[k]] == [v["[UNK]"]]
+    # offsets tile the encoding exactly (cumulative, gap-free)
+    assert doc.sub_start[0] == 0 and doc.sub_end[-1] == len(doc.encoding)
+    for a, b in zip(doc.sub_end[:-1], doc.sub_start[1:]):
+        assert a == b
+
+
+def test_wordpiece_pipeline_parity(spark, tmp_path):
+    """Full swap: WordPiece vocab + checkpoint-loaded heads, Spark vs
+    reference executor exact triple parity."""
+    from jerex_spark.corpus import make_pages
+    from jerex_spark.extract import extract_graph
+    from jerex_spark.reference_executor import run_document
+    from jerex_spark.wordpiece import write_vocab
+    # corpus-covering vocab: single chars + ## continuations
+    chars = sorted({c for t in make_pages(8)["text"] for c in t if
+                    not c.isspace()})
+    toks = (["[PAD]", "[UNK]"] + chars + ["##" + c for c in chars]
+            + ["alice", "acme", "##corp"])
+    vpath = str(tmp_path / "v.txt")
+    write_vocab(vpath, toks)
+    w, _ = load_jerex_state_dict(_mi_state_dict())
+    wpath = str(tmp_path / "w.npz")
+    save_weights(w, wpath)
+    cfg = dataclasses.replace(DEFAULT, weights_path=wpath,
+                              wordpiece_vocab=vpath)
+    pdf = make_pages(8)[["url", "text"]].rename(columns={"url": "doc_key"})
+    got = {(r.doc_key, t.head_idx, t.tail_idx, t.rel_type)
+           for r in extract_graph(spark.createDataFrame(pdf), cfg).collect()
+           for t in r.triples}
+    want = {(k, t["head_idx"], t["tail_idx"], t["rel_type"])
+            for k, txt in zip(pdf["doc_key"], pdf["text"])
+            for t in run_document(k, txt, cfg).triples}
+    assert got == want

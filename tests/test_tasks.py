@@ -57,17 +57,22 @@ def test_all_tasks_run_and_are_deterministic(spark, gold_from_pipeline):
 
 def test_rel_mi_task_matches_joint_pipeline(spark, gold_from_pipeline):
     """Feeding the joint pipeline's own mentions/clusters/types into
-    the standalone MI relation model must reproduce the joint triples
-    EXACTLY (same heads, same enumeration, same fp32 path)."""
+    the standalone MI relation model must reproduce the joint triples:
+    identity set EXACT, scores to 1e-4 (the batched multi-doc matmul
+    and the per-doc task matmul differ by ~1ulp under BLAS blocking;
+    since F7 faithfully dropped its relu — ref has none — the pooled
+    values no longer floor at 0, so the 1ulp shows in the 5th
+    decimal)."""
     gold, g = gold_from_pipeline
-    task = {(r.doc_key, r.head, r.tail, r.rel_type, round(r.score, 5))
+    task = {(r.doc_key, r.head, r.tail, r.rel_type): r.score
             for r in run_task(
                 gold, "relation_classification_multi_instance").collect()}
-    joint = set()
+    joint = {}
     for r in g.select("doc_key", F.explode("triples").alias("t")).collect():
-        joint.add((r.doc_key, r.t.head_idx, r.t.tail_idx, r.t.rel_type,
-                   round(r.t.score, 5)))
-    assert task == joint
+        joint[(r.doc_key, r.t.head_idx, r.t.tail_idx, r.t.rel_type)] = \
+            r.t.score
+    assert set(task) == set(joint)
+    assert max(abs(task[k] - joint[k]) for k in task) < 1e-4
 
 
 def test_rel_global_task_matches_joint_global(spark, gold_from_pipeline):
