@@ -282,7 +282,8 @@ EMBDUP_N_BANDS = 16
 
 
 def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
-                      n_bands: int = EMBDUP_N_BANDS):
+                      n_bands: int = EMBDUP_N_BANDS,
+                      band_bits: int | None = None):
     """Embedding-cosine near-dup, scale path: sign-LSH band blocking
     (shared with similarity.lsh_topk) -> exact cosine only within
     shared buckets.  Candidates are O(bucket collisions), never
@@ -291,8 +292,12 @@ def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
     tests/test_similarity.py).  Approximate -> rows-only check."""
     from ..caching import persist_tracked
     from .similarity import _DOT, _band_buckets, _emb, _with_norm
+    # band_bits is the CORPUS-SIZE dial: expected bucket size is
+    # n / 2^band_bits, so candidate volume per band is n^2 / 2^bits —
+    # grow bits with n to keep the within-bucket exact-cosine work
+    # linear-ish (the scale probe runs 10x input at bits=8)
     e = persist_tracked(_with_norm(_emb(spark, sf_dir)))
-    ba = _band_buckets(e, n_bands=n_bands)
+    ba = _band_buckets(e, n_bands=n_bands, band_bits=band_bits)
     bb = (ba.select(F.col("vec_id").alias("id_b"),
                     F.col("vec").alias("vb"), F.col("norm").alias("nb"),
                     "band", "bucket"))

@@ -1,0 +1,152 @@
+"""10x scale probe: run the heavy operator family at sf0.1 and at a
+10x-replicated corpus ("sf1") in the same session and report the
+runtime ratio plus peak RSS — the check that the plan shapes hold
+beyond the bench scale (no query super-linear in input size, no
+memory blow-up).
+
+The 10x corpus replicates sf0.1 with shifted ids (doc_id/vec_id +
+k * n) into a scratch directory — content distribution identical,
+cardinality 10x.  ``ngram_jaccard`` / ``embdup_cosine_exact`` are the
+declared all-pairs baselines and refuse inputs this large (the guard
+is part of the design; the probe asserts it fires).  For
+``embdup_cosine_lsh`` the probe raises ``band_bits`` 4 -> 8 at 10x —
+the documented corpus-size dial (bucket size n/2^bits): fixed bits on
+a near-uniform corpus is quadratic within buckets by construction.
+
+Usage: python scripts/scale_probe.py [out_dir]   (default /tmp/sf1)
+Prints one JSON line per family member + a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+REPLICAS = 10
+
+
+def build_sf1(src: str, dst: str) -> None:
+    import pandas as pd
+    os.makedirs(dst, exist_ok=True)
+    if not os.path.exists(os.path.join(dst, "documents.parquet")):
+        d = pd.read_parquet(os.path.join(src, "documents.parquet"))
+        n = len(d)
+        reps = []
+        for k in range(REPLICAS):
+            r = d.copy()
+            r["doc_id"] = r["doc_id"] + k * n
+            reps.append(r)
+        pd.concat(reps, ignore_index=True).to_parquet(
+            os.path.join(dst, "documents.parquet"), index=False)
+    if not os.path.exists(os.path.join(dst, "embeddings.parquet")):
+        e = pd.read_parquet(os.path.join(src, "embeddings.parquet"))
+        n = len(e)
+        reps = []
+        for k in range(REPLICAS):
+            r = e.copy()
+            r["vec_id"] = r["vec_id"] + k * n
+            reps.append(r)
+        pd.concat(reps, ignore_index=True).to_parquet(
+            os.path.join(dst, "embeddings.parquet"), index=False)
+
+
+class RssSampler(threading.Thread):
+    """Peak RSS of this python + every java/pyspark child, via /proc."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.peak = 0
+        self._stop = threading.Event()
+
+    def _total_rss(self) -> int:
+        total = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    comm = f.read().strip()
+                if comm not in ("java", "python", "python3"):
+                    continue
+                with open(f"/proc/{pid}/statm") as f:
+                    total += int(f.read().split()[1]) * 4096
+            except OSError:
+                continue
+        return total
+
+    def run(self):
+        while not self._stop.is_set():
+            self.peak = max(self.peak, self._total_rss())
+            self._stop.wait(2.0)
+
+    def stop(self) -> int:
+        self._stop.set()
+        return self.peak
+
+
+def main():
+    sf01 = "/root/testdata/sf0.1"
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    build_sf1(sf01, sf1)
+
+    from jerex_spark.caching import release_persisted
+    from jerex_spark.operators import all_queries
+    from jerex_spark.operators.dedup import embdup_cosine_lsh
+    from jerex_spark.session import build_session
+    spark = build_session(app="scale-probe", master="local[32]")
+    qs = all_queries()
+    family = ("kg_triples", "dedup_exact", "minhash_lsh_pairs",
+              "dedup_lsh_verified", "canon_gazetteer", "lsh_topk",
+              "ivf_topk", "embdup_cosine_lsh")
+
+    def run(name, sf_dir, **kw):
+        fn = (lambda s, d: embdup_cosine_lsh(s, d, **kw)) \
+            if name == "embdup_cosine_lsh" and kw else qs[name][0]
+        best, rows = float("inf"), None
+        for _ in range(2):                       # best-of-2 (host noise)
+            t0 = time.time()
+            rows = fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+            release_persisted()
+        return best, rows
+
+    sampler = RssSampler()
+    sampler.start()
+    results = {}
+    try:
+        for name in family:
+            kw1 = ({"band_bits": 8}
+                   if name == "embdup_cosine_lsh" else {})
+            t_small, r_small = run(name, sf01)
+            t_big, r_big = run(name, sf1, **kw1)
+            results[name] = {
+                "sf0.1_sec": round(t_small, 2), "sf1_sec": round(t_big, 2),
+                "ratio": round(t_big / max(t_small, 1e-9), 2),
+                "rows_sf0.1": r_small, "rows_sf1": r_big,
+            }
+            print(json.dumps({name: results[name]}), flush=True)
+        # the all-pairs guards must fire at this scale
+        from jerex_spark.operators.dedup import ngram_jaccard
+        try:
+            ngram_jaccard(spark, sf1)
+            guard = "DID NOT FIRE (bug)"
+        except ValueError:
+            guard = "fired"
+        peak = sampler.stop()
+        print(json.dumps({
+            "metric": "scale_probe_10x", "replicas": REPLICAS,
+            "allpairs_guard": guard,
+            "peak_rss_gb": round(peak / 2**30, 2),
+            "max_ratio": max(v["ratio"] for v in results.values()),
+        }), flush=True)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    main()
