@@ -120,6 +120,76 @@ FROM a
 """
 
 
+# --- A6 per-type: the REAL per-type evaluator over derived triples ----
+def pertype_prf_events(spark, sf_dir):
+    """Runs evaluation.per_type_prf itself (the distributed per-type
+    P/R/F1 evaluator, ref scoring.py:63-73 per-type semantics) over
+    pred/gt triple tables derived relationally from events — so the
+    evaluator's full-outer-join + per-type aggregation path is
+    oracle-checked, not just the micro closed form (a6_micro_prf)."""
+    from ..evaluation import per_type_prf
+    e = _t(spark, sf_dir, "events")
+
+    def mk(df):
+        k = (F.col("event_id") % 100).cast("int")
+        return df.select(
+            F.col("user_id").cast("string").alias("doc_key"),
+            F.array(F.struct(k.alias("start"),
+                             (k + 1).alias("end"))).alias("head_key"),
+            F.array(F.struct(F.lit(0).alias("start"),
+                             F.lit(1).alias("end"))).alias("tail_key"),
+            F.concat(F.lit("r"), (F.col("event_id") % 3).cast("string"))
+            .alias("rel_type"))
+
+    pred = mk(e.filter(F.col("event_type") == "error"))
+    gt = mk(e.filter(F.col("value") > 150.0))
+    return per_type_prf(pred, gt)
+
+
+PERTYPE_SQL = """
+WITH p AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS doc_key,
+         CAST(event_id % 100 AS INT) AS k,
+         'r' || CAST(event_id % 3 AS VARCHAR) AS rel_type
+  FROM events WHERE event_type = 'error'),
+g AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS doc_key,
+         CAST(event_id % 100 AS INT) AS k,
+         'r' || CAST(event_id % 3 AS VARCHAR) AS rel_type
+  FROM events WHERE value > 150.0),
+j AS (
+  SELECT COALESCE(p.rel_type, g.rel_type) AS rel_type,
+         CASE WHEN p.doc_key IS NOT NULL AND g.doc_key IS NOT NULL
+              THEN 1 ELSE 0 END AS is_tp,
+         CASE WHEN p.doc_key IS NOT NULL AND g.doc_key IS NULL
+              THEN 1 ELSE 0 END AS is_fp,
+         CASE WHEN p.doc_key IS NULL AND g.doc_key IS NOT NULL
+              THEN 1 ELSE 0 END AS is_fn
+  FROM p FULL OUTER JOIN g
+    ON p.doc_key = g.doc_key AND p.k = g.k
+   AND p.rel_type = g.rel_type),
+per AS (
+  SELECT rel_type, CAST(SUM(is_tp) AS BIGINT) AS tp,
+         CAST(SUM(is_fp) AS BIGINT) AS fp,
+         CAST(SUM(is_fn) AS BIGINT) AS fn
+  FROM j GROUP BY rel_type),
+pr AS (
+  SELECT rel_type, tp, fp, fn,
+         ROUND(CASE WHEN tp + fp > 0
+                    THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6)
+           AS precision,
+         ROUND(CASE WHEN tp + fn > 0
+                    THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6)
+           AS recall
+  FROM per)
+SELECT rel_type, tp, fp, fn, precision, recall,
+       ROUND(CASE WHEN precision + recall > 0
+                  THEN 2 * precision * recall / (precision + recall)
+                  ELSE 0.0 END, 6) AS f1
+FROM pr
+"""
+
+
 # --- D2: uniqueness / distinct counting --------------------------------
 def d2_lineitem_distinct(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -460,6 +530,7 @@ QUERIES = {
     "j8_match_stats": (j8_match_stats, J8_SQL),
     "a5_priority_multihot": (a5_priority_multihot, A5_SQL),
     "a6_micro_prf": (a6_micro_prf, A6_SQL),
+    "pertype_prf_events": (pertype_prf_events, PERTYPE_SQL),
     "d2_lineitem_distinct": (d2_lineitem_distinct, D2_SQL),
     "w1_top_orders": (w1_top_orders, W1_SQL),
     "tpch_q1": (tpch_q1, TPCH_Q1_SQL),

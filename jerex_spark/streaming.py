@@ -101,3 +101,80 @@ def streaming_entity_rollup(canon_mentions: DataFrame) -> DataFrame:
                 stateStructType=ROLLUP_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# --- transformWithState variant (Spark 4 stateful API) ------------------
+class _RollupProcessor:
+    """StatefulProcessor form of the entity rollup — the Spark-4-native
+    stateful operator API (SPARK-49564 transformWithState): typed state
+    variables on a StatefulProcessorHandle instead of one opaque state
+    tuple, plus timers/TTL when eviction policies are needed.  Same
+    semantics as _rollup_update; the equivalence test pins both
+    variants to the batch rollup.
+
+    State layout: ONE ValueState row (counts + capped surface sample) —
+    per-key state stays O(MAX_SURFACES) regardless of corpus size, and
+    lives in the (RocksDB) state store partition that owns the key.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("rollup", ROLLUP_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues
+                        ) -> "Iterator[pd.DataFrame]":
+        n_new = 0
+        first_seen_new = None
+        surfaces: set = set()
+        for pdf in rows:
+            n_new += len(pdf)
+            surfaces.update(pdf["phrase"].dropna())
+            if len(pdf):
+                lo = pdf["doc_key"].min()
+                if first_seen_new is None or lo < first_seen_new:
+                    first_seen_new = lo
+        if self._state.exists():
+            n_mentions, n_batches, first_seen, old = self._state.get()
+            surfaces.update(old)
+        else:
+            n_mentions, n_batches, first_seen = 0, 0, None
+        n_mentions += n_new
+        n_batches += 1
+        if first_seen is None or (first_seen_new is not None
+                                  and first_seen_new < first_seen):
+            first_seen = first_seen_new
+        kept = sorted(surfaces)[:MAX_SURFACES]
+        self._state.update((n_mentions, n_batches, first_seen, kept))
+        yield pd.DataFrame({
+            "canonical_id": [key[0]], "n_mentions": [n_mentions],
+            "n_batches": [n_batches], "first_seen": [first_seen],
+            "surfaces": [kept]})
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_entity_rollup_tws(canon_mentions: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of streaming_entity_rollup.
+
+    Requires the RocksDB state store provider (set by the caller's
+    session or per-query via spark.sql.streaming.stateStore.
+    providerClass) — the production choice anyway at KG scale, since
+    state no longer needs to fit on the executor heap.
+
+    CONTAINER BOUNDARY (stated): Spark's transformWithState Python
+    protocol needs the ``protobuf`` package, which this sandbox lacks
+    (no pip), so the equivalence test is skip-gated on
+    ``import google.protobuf``; the applyInPandasWithState variant
+    above is the fully-exercised path here."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class P(_RollupProcessor, StatefulProcessor):
+        pass
+
+    return (canon_mentions
+            .groupBy("canonical_id")
+            .transformWithStateInPandas(
+                statefulProcessor=P(),
+                outputStructType=ROLLUP_OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))

@@ -97,6 +97,65 @@ def test_streaming_stateful_entity_rollup(spark, tmp_path):
     assert by_key["Q0"].n_mentions == 1
 
 
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason=(
+    "transformWithState's Python protocol requires protobuf, absent "
+    "in this container (no pip) — see streaming_entity_rollup_tws "
+    "docstring; the applyInPandasWithState twin is fully tested"))
+def test_streaming_rollup_tws_matches_applyinpandas(spark, tmp_path):
+    """transformWithState (Spark 4 stateful API, RocksDB state store)
+    twin of the entity rollup produces the same final table as the
+    applyInPandasWithState variant."""
+    from jerex_spark.streaming import (MAX_SURFACES,
+                                       streaming_entity_rollup_tws)
+    src = str(tmp_path / "tws_in")
+    rows = [("QHOT" if i % 4 else f"Q{i}", f"d{i:03d}",
+             f"surface_{i % 30}") for i in range(120)]
+    (spark.createDataFrame(
+        rows, "canonical_id string, doc_key string, phrase string")
+     .repartition(6).write.parquet(src))
+    stream = (spark.readStream
+              .schema("canonical_id string, doc_key string, phrase string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        q = (streaming_entity_rollup_tws(stream)
+             .writeStream.format("memory").queryName("ent_tws")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore."
+                             "providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore."
+                           "providerClass", prev)
+    final = spark.sql("""
+        select canonical_id, n_mentions, n_batches, first_seen, surfaces
+        from (select *, row_number() over (partition by canonical_id
+                                           order by n_batches desc) rn
+              from ent_tws) where rn = 1""").collect()
+    by_key = {r.canonical_id: r for r in final}
+    hot = by_key["QHOT"]
+    assert hot.n_mentions == 90 and hot.n_batches > 1
+    assert hot.first_seen == "d001"
+    assert len(hot.surfaces) == MAX_SURFACES
+    assert hot.surfaces == sorted(hot.surfaces)
+    assert by_key["Q0"].n_mentions == 1
+
+
 def test_streaming_extract_watermark_drops_late(spark, tmp_path):
     """streaming_extract -> watermarked windowed sink: the event-time
     column rides through the extract (passthrough, no join), a row
