@@ -74,14 +74,14 @@ def run_suite(spark, sf_dir, runs: int = BENCH_RUNS):
 
 
 def flagship_wall(master: str, sf_dir: str, replicate: int = 1,
-                  runs: int = 3) -> tuple[float, int]:
+                  runs: int = 3, warm: bool = True) -> tuple[float, int]:
     """Best-of-N warm wall time of the flagship extract at a given
-    master.  First run pays python-worker imports (discarded); the min
-    of the next ``runs`` is reported — this sandbox's host CPU
-    throughput fluctuates ~2x, and min-of-N is the standard estimator
-    of the machine's true capability under noise.  ``replicate``
-    unions R distinct-keyed copies of the corpus (JVM-side explode) so
-    fixed scheduling costs amortize."""
+    master.  First run pays python-worker imports (discarded when
+    ``warm``); the min of the next ``runs`` is reported — this
+    sandbox's host CPU throughput fluctuates ~2x, and min-of-N is the
+    standard estimator of the machine's true capability under noise.
+    ``replicate`` unions R distinct-keyed copies of the corpus
+    (JVM-side explode) so fixed scheduling costs amortize."""
     from pyspark.sql import functions as F
 
     from jerex_spark.extract import explode_triples
@@ -101,7 +101,8 @@ def flagship_wall(master: str, sf_dir: str, replicate: int = 1,
         def run():
             return explode_triples(build_graph(docs)).count()
 
-        run()                                         # warm-up
+        if warm:
+            run()                                     # warm-up
         best = float("inf")
         for _ in range(runs):
             t0 = time.time()
@@ -110,6 +111,30 @@ def flagship_wall(master: str, sf_dir: str, replicate: int = 1,
         return best, n_docs
     finally:
         spark.stop()
+
+
+def scaling_interleaved(n_low: int, n_high: int, sf_dir: str,
+                        replicate: int, rounds: int = 3
+                        ) -> tuple[float, float, int]:
+    """Alternate the two parallelism legs A/B/A/B (one fresh session
+    per leg per round — only one SparkContext can live per process)
+    and take the best round per leg.  The host's throughput windows
+    shift on ~10s-minute scales, so running all of leg A then all of
+    leg B lands the bias entirely on one leg (observed: identical code
+    swinging eff 0.44 -> 1.20 depending on which leg caught the fast
+    window); interleaving samples both legs across the SAME set of
+    windows."""
+    t_low = t_high = float("inf")
+    n_docs = 0
+    for r in range(rounds):
+        # warm only the first visit of each leg (worker import cost)
+        a, n_docs = flagship_wall(f"local[{n_low}]", sf_dir, replicate,
+                                  runs=1, warm=(r == 0))
+        b, _ = flagship_wall(f"local[{n_high}]", sf_dir, replicate,
+                             runs=1, warm=(r == 0))
+        t_low = min(t_low, a)
+        t_high = min(t_high, b)
+    return t_low, t_high, n_docs
 
 
 def main():
@@ -121,9 +146,10 @@ def main():
         # local[16]; override with SPARK_GRAFT_SCALE_N.
         n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
         rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "8"))
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
         n_high = n_low * 4
-        t_low, n_docs = flagship_wall(f"local[{n_low}]", SF_DIR, rep)
-        t_high, _ = flagship_wall(f"local[{n_high}]", SF_DIR, rep)
+        t_low, t_high, n_docs = scaling_interleaved(
+            n_low, n_high, SF_DIR, rep, rounds)
         eff = (t_low / t_high) / 4
         out = {
             "metric": f"scaling_efficiency_{n_low}_to_{n_high}",
