@@ -82,9 +82,11 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     w = load_weights(cfg)
     d = cfg.hidden_size
     docs = []           # per-doc dict state
-    span_reprs = []     # batch-level accumulators -> one matmul each
+    tokpools = []       # batch-level accumulators -> one pooling /
+    span_starts = []    # matmul over the whole Arrow batch
     span_sizes = []
     span_off = 0
+    tok_off = 0
     for doc_key, text in zip(pdf["doc_key"], pdf["text"]):
         tok, starts, ends, sent_idx, spans_capped = _doc_candidates(
             text or "", cfg)
@@ -99,19 +101,27 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
             tok_se = np.asarray(tok.sub_end, dtype=np.int64)
             ss = tok_ss[starts]
             se = tok_se[ends - 1]
-            # hierarchical pooling: per-token max once, then exact
-            # power-of-two window max — same values as the direct
-            # sub-word gather, ~10x less memory traffic
-            tokpool = scoring.token_maxpool(h, tok_ss, tok_se)
-            span_reprs.append(scoring.span_maxpool_windows(
-                tokpool, starts, ends - starts, cfg.max_span_size))
+            # per-token max now; the power-of-two window max runs ONCE
+            # over the whole batch below
+            tokpools.append(scoring.token_maxpool(h, tok_ss, tok_se))
+            span_starts.append(starts + tok_off)
             span_sizes.append(ends - starts)
+            tok_off += len(tok_ss)
             st["sub_s"], st["sub_e"] = ss, se
         docs.append(st)
 
-    # F2 mention scoring: one matmul over every span in the batch
-    if span_reprs:
-        all_reprs = np.concatenate(span_reprs)
+    # A1 span pooling + F2 mention scoring, each ONE call per batch.
+    # Hierarchical pooling (per-token max, then exact power-of-two
+    # window max) gives the same values as the direct sub-word gather
+    # at ~10x less memory traffic; batching the window max over the
+    # concatenated token pools is bit-identical to per-doc calls —
+    # every gather a span performs stays inside its own doc's rows
+    # (start + size - 1 never crosses the doc end), so the sparse-table
+    # levels' cross-doc rows are computed but never read.
+    if tokpools:
+        all_reprs = scoring.span_maxpool_windows(
+            np.concatenate(tokpools), np.concatenate(span_starts),
+            np.concatenate(span_sizes), cfg.max_span_size)
         all_probs = scoring.sigmoid(scoring.mention_logits(
             all_reprs, np.concatenate(span_sizes), w))
     else:

@@ -76,9 +76,9 @@ def span_maxpool_windows(tokpool: np.ndarray, starts: np.ndarray,
     p = 1
     while p * 2 <= max_size and p < T:
         prev = levels[-1]
-        nxt = prev.copy()
-        if T > p:
-            np.maximum(prev[:T - p], prev[p:], out=nxt[:T - p])
+        nxt = np.empty_like(prev)
+        np.maximum(prev[:T - p], prev[p:], out=nxt[:T - p])
+        nxt[T - p:] = prev[T - p:]      # tail: window clipped at T
         levels.append(nxt)
         p *= 2
     lvl_idx = np.floor(np.log2(np.maximum(sizes, 1))).astype(np.int64)
