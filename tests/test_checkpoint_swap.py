@@ -240,6 +240,22 @@ def test_wordpiece_offset_map_in_tokenize_document(tmp_path):
         assert a == b
 
 
+def test_wordpiece_hostile_inputs(tmp_path):
+    """Empty / whitespace / all-unknown docs through the WordPiece
+    path: no crash, zero tokens for empty docs, [UNK] fallback for
+    phrases that encode to nothing."""
+    from jerex_spark.tokenization import encode_token, tokenize_document
+    path, v = _vocab(tmp_path)
+    cfg = dataclasses.replace(DEFAULT, wordpiece_vocab=path)
+    for text in ("", "   ", "\n\t"):
+        doc = tokenize_document(text, cfg)
+        assert doc.phrases == [] and doc.encoding == []
+    # a phrase of only ignorable chars encodes to [] -> [UNK] fallback
+    assert encode_token("\x00", cfg) == [v["[UNK]"]]
+    doc = tokenize_document("ωωω normal.", cfg)
+    assert doc.encoding[doc.sub_start[0]:doc.sub_end[0]] == [v["[UNK]"]]
+
+
 def test_wordpiece_pipeline_parity(spark, tmp_path):
     """Full swap: WordPiece vocab + checkpoint-loaded heads, Spark vs
     reference executor exact triple parity."""
