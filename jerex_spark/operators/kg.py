@@ -1,12 +1,21 @@
 """KG-construction queries (the flagship pipeline surface).
 
 The extract stage embeds the frozen scorer inside a ``mapInPandas``
-black box, so these are not SQL-expressible — the driver records a
-rows-only check, while tests/test_parity.py holds the real correctness
-gate (exact triple parity vs the plain-Python reference executor).
+black box, so no closed-form SQL can reproduce it.  The DuckDB oracle
+for these queries is instead the *golden tables* materialized by
+scripts/make_golden.py from the plain-Python reference executor — an
+independent implementation of the same semantics (ref
+jerex/models/joint_models.py:202-244, jerex/evaluation/conversion.py:
+20-98) — selected by a corpus content signature so the right rows
+match whatever sf dir the harness runs at.  Projections here carry
+identity/discrete columns only; continuous scores differ between
+batched and per-doc BLAS in the last ulps and stay gated by
+tests/test_parity.py::test_scores_match (1e-4) instead.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import functions as F
 
@@ -14,32 +23,67 @@ from ..config import DEFAULT, GLOBAL
 from ..pipeline import build_graph, flagship_triples, kg_tables, \
     load_documents
 
+_GOLDEN_GLOB = os.path.abspath(os.path.join(
+    os.path.dirname(__file__), "..", "..", "golden"))
+
+
+def _golden_sql(table: str, cols: list[str]) -> str:
+    """Oracle over the committed golden parquet: pick the generation
+    whose corpus signature (md5 over sorted doc_key:text-md5 pairs —
+    the exact expression scripts/make_golden.py stamps) matches the
+    ``documents`` view under test."""
+    sel = ", ".join(f"g.{c}" for c in cols)
+    return f"""
+WITH sig AS (
+  SELECT md5(string_agg(source || '/' || doc_id || ':' || md5(text),
+             ',' ORDER BY source || '/' || doc_id)) AS s
+  FROM documents)
+SELECT {sel}
+FROM read_parquet('{_GOLDEN_GLOB}/*/golden_{table}.parquet') g
+JOIN sig ON g.corpus_sig = sig.s
+"""
+
+
+def _triples_identity(t):
+    """Identity-key projection of the flat triples table (drop the
+    fp score column; see module docstring)."""
+    return t.select(
+        "doc_key",
+        F.col("head_idx").cast("long").alias("head_idx"),
+        F.col("tail_idx").cast("long").alias("tail_idx"),
+        "rel_type", "head_type", "tail_type", "head_key", "tail_key")
+
 
 def kg_triples(spark, sf_dir):
-    return flagship_triples(spark, sf_dir, DEFAULT)
+    return _triples_identity(flagship_triples(spark, sf_dir, DEFAULT))
 
 
 def kg_triples_global(spark, sf_dir):
     """F6/F9 'joint_global' model variant (ref jerex/models/__init__.py:
     9-20, joint_models.py:246-318) — same pipeline, global relation
     head instead of multi-instance."""
-    return flagship_triples(spark, sf_dir, GLOBAL)
+    return _triples_identity(flagship_triples(spark, sf_dir, GLOBAL))
 
 
 def kg_mentions(spark, sf_dir):
     graph = build_graph(load_documents(spark, sf_dir), DEFAULT)
-    return kg_tables(graph)["mentions"].select(
-        "doc_key", "mention_idx", "sent_idx", "start", "end",
-        "sub_start", "sub_end", "phrase", F.round("score", 6).alias("score"))
+    m = kg_tables(graph)["mentions"]
+    return m.select(
+        "doc_key",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("mention_idx", "sent_idx", "start", "end",
+                    "sub_start", "sub_end")],
+        "phrase")
 
 
 def kg_entities(spark, sf_dir):
     graph = build_graph(load_documents(spark, sf_dir), DEFAULT)
     e = kg_tables(graph)["entities"]
     return e.select(
-        "doc_key", "entity_idx", "type",
-        F.round("type_score", 6).alias("type_score"),
-        F.size("mention_idxs").alias("n_mentions"),
+        "doc_key",
+        F.col("entity_idx").cast("long").alias("entity_idx"),
+        "type",
+        F.size("mention_idxs").cast("long").alias("n_mentions"),
         # canonical identity key: sorted mention span set
         # (ref jerex/evaluation/conversion.py:4-10)
         F.concat_ws("|", F.transform(
@@ -52,10 +96,12 @@ def kg_doc_stats(spark, sf_dir):
     cap-truncation flags — SURVEY.md §7.3 item 4: never silent)."""
     graph = build_graph(load_documents(spark, sf_dir), DEFAULT)
     return graph.select(
-        "doc_key", "n_tokens", "n_spans",
-        F.size("mentions").alias("n_mentions"),
-        F.size("entities").alias("n_entities"),
-        F.size("triples").alias("n_triples"),
+        "doc_key",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.size("mentions").cast("long").alias("n_mentions"),
+        F.size("entities").cast("long").alias("n_entities"),
+        F.size("triples").cast("long").alias("n_triples"),
         F.col("truncated.spans").alias("spans_capped"),
         F.col("truncated.mentions").alias("mentions_capped"),
         F.col("truncated.pairs").alias("pairs_capped"))
@@ -113,11 +159,20 @@ FROM agg
 """
 
 
+_TRIPLE_COLS = ["doc_key", "head_idx", "tail_idx", "rel_type",
+                "head_type", "tail_type", "head_key", "tail_key"]
+
 QUERIES = {
-    "kg_triples": (kg_triples, None),
-    "kg_triples_global": (kg_triples_global, None),
-    "kg_mentions": (kg_mentions, None),
-    "kg_entities": (kg_entities, None),
-    "kg_doc_stats": (kg_doc_stats, None),
+    "kg_triples": (kg_triples, _golden_sql("triples", _TRIPLE_COLS)),
+    "kg_triples_global": (kg_triples_global,
+                          _golden_sql("triples_global", _TRIPLE_COLS)),
+    "kg_mentions": (kg_mentions, _golden_sql("mentions", [
+        "doc_key", "mention_idx", "sent_idx", "start", "end",
+        "sub_start", "sub_end", "phrase"])),
+    "kg_entities": (kg_entities, _golden_sql("entities", [
+        "doc_key", "entity_idx", "type", "n_mentions", "identity_key"])),
+    "kg_doc_stats": (kg_doc_stats, _golden_sql("doc_stats", [
+        "doc_key", "n_tokens", "n_spans", "n_mentions", "n_entities",
+        "n_triples", "spans_capped", "mentions_capped", "pairs_capped"])),
     "kg_token_stats": (kg_token_stats, KG_TOKEN_STATS_SQL),
 }

@@ -36,6 +36,14 @@ class DocResult:
     mentions: list = field(default_factory=list)   # dicts
     entities: list = field(default_factory=list)
     triples: list = field(default_factory=list)
+    # per-doc stats + cap-truncation flags, same semantics as the Spark
+    # side's (n_tokens, n_spans, truncated) columns (extract.py
+    # DOC_GRAPH_SCHEMA) — golden side of the kg_doc_stats oracle
+    n_tokens: int = 0
+    n_spans: int = 0
+    spans_capped: bool = False
+    mentions_capped: bool = False
+    pairs_capped: bool = False
 
 
 def _complete_linkage_ref(dist: np.ndarray, threshold: float) -> list[list[int]]:
@@ -85,6 +93,7 @@ def run_document(doc_key: str, text: str,
     res = DocResult(doc_key=doc_key)
     tok = tokenize_document(text, cfg)
     n_tok = len(tok.phrases)
+    res.n_tokens = n_tok
     if n_tok == 0:
         return res
 
@@ -96,7 +105,9 @@ def run_document(doc_key: str, text: str,
             for st in range(0, len(sent) - size + 1):
                 spans.append((base + st, base + st + size, s_i))
         base += len(sent)
+    res.spans_capped = len(spans) > cfg.max_spans_per_doc
     spans = spans[: cfg.max_spans_per_doc]
+    res.n_spans = len(spans)
     if not spans:
         return res
 
@@ -110,6 +121,7 @@ def run_document(doc_key: str, text: str,
 
     kept = [i for i in range(len(spans))
             if probs[i] >= cfg.mention_threshold]
+    res.mentions_capped = len(kept) > cfg.max_mentions_per_doc
     # cap, keeping highest scores (deterministic tie-break on span)
     kept.sort(key=lambda i: (-float(probs[i]), spans[i][0], spans[i][1]))
     kept = kept[: cfg.max_mentions_per_doc]
@@ -168,6 +180,7 @@ def run_document(doc_key: str, text: str,
     ne = len(clusters)
     if ne < 2:
         return res
+    res.pairs_capped = ne * (ne - 1) > cfg.max_rel_pairs_per_doc
     types = np.array([cfg.entity_types.index(e["type"])
                       for e in res.entities])
     d = cfg.hidden_size

@@ -1,0 +1,141 @@
+"""Materialize the reference executor's output as golden oracle tables.
+
+The five flagship ``kg_*`` queries embed the frozen scorer inside a
+``mapInPandas`` stage, so no closed-form SQL can reproduce them.  The
+plain-Python reference executor (jerex_spark/reference_executor.py) is
+an INDEPENDENT implementation of the same semantics (ref
+jerex/models/joint_models.py:202-244, jerex/evaluation/conversion.py:
+20-98) — its output, frozen to parquet per test corpus, is a
+legitimate DuckDB oracle: the driver's correctness harness compares
+the Spark pipeline's rows/schema/hash against these tables exactly as
+it does for closed-form SQL oracles.
+
+Each golden table is stamped with ``corpus_sig`` — an md5 over the
+sorted (doc_key, text-md5) pairs of the corpus it was generated from,
+computed IN DuckDB with the same expression the oracle SQL uses over
+the registered ``documents`` view — so one glob over
+``golden/*/golden_<table>.parquet`` always selects exactly the rows
+for the corpus under test, regardless of which sf dir the harness
+runs at (sf0.001 and sf0.01 both have 500 docs; counts cannot
+discriminate).
+
+Identity/discrete columns only: continuous scores differ between
+batched (Spark) and per-doc (reference) BLAS in the last ulps (see
+tests/test_parity.py::test_scores_match), so a rounded score column
+would be hash-unstable at the rounding boundary.  Scores stay gated
+by the 1e-4 parity test.
+
+Usage: python scripts/make_golden.py [sf_dir ...]
+(defaults to /root/testdata/sf0.001 sf0.01 sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from concurrent.futures import ProcessPoolExecutor
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from jerex_spark.config import DEFAULT, GLOBAL  # noqa: E402
+from jerex_spark.reference_executor import run_document  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "golden")
+
+# must match the expression in operators/kg.py CORPUS_SIG_SQL exactly
+SIG_SQL = ("SELECT md5(string_agg(source || '/' || doc_id || ':' || "
+           "md5(text), ',' ORDER BY source || '/' || doc_id)) FROM {src}")
+
+
+def _span_key(spans) -> str:
+    return "|".join(f"{s}:{e}" for s, e in spans)
+
+
+def _one_doc(arg):
+    doc_key, text = arg
+    res = run_document(doc_key, text, DEFAULT)
+    res_g = run_document(doc_key, text, GLOBAL)
+    mentions = [
+        dict(doc_key=doc_key, mention_idx=m["mention_idx"],
+             sent_idx=m["sent_idx"], start=m["start"], end=m["end"],
+             sub_start=m["sub_start"], sub_end=m["sub_end"],
+             phrase=m["phrase"])
+        for m in res.mentions]
+    entities = [
+        dict(doc_key=doc_key, entity_idx=e["entity_idx"], type=e["type"],
+             n_mentions=len(e["mention_idxs"]),
+             identity_key=_span_key(e["mentions"]))
+        for e in res.entities]
+
+    def _trip(r, t):
+        return dict(doc_key=doc_key, head_idx=t["head_idx"],
+                    tail_idx=t["tail_idx"], rel_type=t["rel_type"],
+                    head_type=t["head_type"], tail_type=t["tail_type"],
+                    head_key=_span_key(t["head_key"]),
+                    tail_key=_span_key(t["tail_key"]))
+
+    triples = [_trip(res, t) for t in res.triples]
+    triples_g = [_trip(res_g, t) for t in res_g.triples]
+    stats = dict(doc_key=doc_key, n_tokens=res.n_tokens,
+                 n_spans=res.n_spans, n_mentions=len(res.mentions),
+                 n_entities=len(res.entities), n_triples=len(res.triples),
+                 spans_capped=res.spans_capped,
+                 mentions_capped=res.mentions_capped,
+                 pairs_capped=res.pairs_capped)
+    return mentions, entities, triples, triples_g, stats
+
+
+def build_sf(sf_dir: str, workers: int = 16) -> None:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    src = f"read_parquet('{sf_dir}/documents.parquet')"
+    sig = duckdb.sql(SIG_SQL.format(src=src)).fetchone()[0]
+    rows = duckdb.sql(
+        f"SELECT source || '/' || doc_id AS doc_key, text FROM {src} "
+        f"ORDER BY doc_key").fetchall()
+    print(f"{name}: {len(rows)} docs, corpus_sig={sig}")
+
+    tables = {k: [] for k in
+              ("mentions", "entities", "triples", "triples_global",
+               "doc_stats")}
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        for m, e, t, tg, st in ex.map(_one_doc, rows, chunksize=16):
+            tables["mentions"] += m
+            tables["entities"] += e
+            tables["triples"] += t
+            tables["triples_global"] += tg
+            tables["doc_stats"].append(st)
+
+    columns = {
+        "mentions": ["doc_key", "mention_idx", "sent_idx", "start", "end",
+                     "sub_start", "sub_end", "phrase"],
+        "entities": ["doc_key", "entity_idx", "type", "n_mentions",
+                     "identity_key"],
+        "triples": ["doc_key", "head_idx", "tail_idx", "rel_type",
+                    "head_type", "tail_type", "head_key", "tail_key"],
+        "triples_global": ["doc_key", "head_idx", "tail_idx", "rel_type",
+                           "head_type", "tail_type", "head_key",
+                           "tail_key"],
+        "doc_stats": ["doc_key", "n_tokens", "n_spans", "n_mentions",
+                      "n_entities", "n_triples", "spans_capped",
+                      "mentions_capped", "pairs_capped"],
+    }
+    out_dir = os.path.join(GOLDEN_DIR, name)
+    os.makedirs(out_dir, exist_ok=True)
+    for tname, recs in tables.items():
+        df = pd.DataFrame(recs, columns=columns[tname])
+        df["corpus_sig"] = sig
+        path = os.path.join(out_dir, f"golden_{tname}.parquet")
+        # through duckdb so int columns land as BIGINT (pandas int64)
+        duckdb.sql(f"COPY (SELECT * FROM df) TO '{path}' "
+                   f"(FORMAT PARQUET, COMPRESSION ZSTD)")
+        print(f"  {tname}: {len(df)} rows -> {path}")
+
+
+if __name__ == "__main__":
+    dirs = sys.argv[1:] or [f"/root/testdata/sf{s}"
+                            for s in ("0.001", "0.01", "0.1")]
+    for d in dirs:
+        build_sf(d)
