@@ -276,40 +276,60 @@ FROM p WHERE cos6 >= {COS_DUP_THRESHOLD}
 
 # near-dup pairs (cos >= threshold) are CLOSER than generic top-k
 # neighbors, so fewer bands reach full recall than lsh_topk needs:
-# measured recall vs the exact baseline is already 1.0 at 16 x 4 on
-# the synthetic corpus (24 bands would be pure candidate-volume cost)
+# measured recall vs the exact baseline is 1.0 at 16 x 4 on the
+# synthetic corpus — the small-n floor for the auto schedule (which,
+# at COS_DUP_THRESHOLD and the default target bucket size, also
+# *derives* 16 x 4 at n=500)
 EMBDUP_N_BANDS = 16
 
 
 def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
-                      n_bands: int = EMBDUP_N_BANDS,
+                      n_bands: int | None = None,
                       band_bits: int | None = None):
     """Embedding-cosine near-dup, scale path: sign-LSH band blocking
-    (shared with similarity.lsh_topk) -> exact cosine only within
-    shared buckets.  Candidates are O(bucket collisions), never
-    O(n^2); high-cosine pairs collide in some band with high
+    (shared with similarity.lsh_topk) -> candidate-pair dedup -> exact
+    cosine once per unique pair.  Candidates are O(bucket collisions),
+    never O(n^2); high-cosine pairs collide in some band with high
     probability (recall vs the exact baseline pinned >= 0.9 in
-    tests/test_similarity.py).  Approximate -> rows-only check."""
+    tests/test_similarity.py).  Approximate -> rows-only check.
+
+    (n_bands, band_bits) default to similarity.lsh_schedule: bits grow
+    with the corpus so bucket sizes stay ~constant, bands grow so pairs
+    at ``threshold`` keep >= DESIGN_RECALL collision probability — no
+    manual dial at any corpus size.  The band join carries only ids
+    (the buckets are computed from the persisted vectors, then the
+    payload is dropped); a true near-dup colliding in all B bands costs
+    one cosine, not B — the distinct runs BEFORE the vectors are
+    re-joined, so the dominant per-candidate term is paid once per
+    unique pair."""
     from ..caching import persist_tracked
-    from .similarity import _DOT, _band_buckets, _emb, _with_norm
-    # band_bits is the CORPUS-SIZE dial: expected bucket size is
-    # n / 2^band_bits, so candidate volume per band is n^2 / 2^bits —
-    # grow bits with n to keep the within-bucket exact-cosine work
-    # linear-ish (the scale probe runs 10x input at bits=8)
+    from .similarity import (_DOT, _band_buckets, _emb, _with_norm,
+                             lsh_schedule)
     e = persist_tracked(_with_norm(_emb(spark, sf_dir)))
-    ba = _band_buckets(e, n_bands=n_bands, band_bits=band_bits)
-    bb = (ba.select(F.col("vec_id").alias("id_b"),
-                    F.col("vec").alias("vb"), F.col("norm").alias("nb"),
-                    "band", "bucket"))
-    cos = F.expr(_DOT.format(a="vec", b="vb")) / (
-        F.col("norm") * F.col("nb"))
-    return (ba.join(bb, ["band", "bucket"])
-            .filter(F.col("vec_id") < F.col("id_b"))
-            .select(F.col("vec_id").alias("id_a"), "id_b",
-                    F.round(cos, 6).alias("cos6"))
+    if n_bands is None or band_bits is None:
+        # the count also materializes the persisted table we join below
+        n_bands, band_bits = lsh_schedule(
+            e.count(), design_cos=threshold,
+            n_bands=n_bands, band_bits=band_bits,
+            min_bands=EMBDUP_N_BANDS)
+    ba = (_band_buckets(e, n_bands=n_bands, band_bits=band_bits)
+          .select("vec_id", "band", "bucket"))
+    pairs = (ba.join(ba.select(F.col("vec_id").alias("id_b"),
+                               "band", "bucket"),
+                     ["band", "bucket"])
+             .filter(F.col("vec_id") < F.col("id_b"))
+             .select(F.col("vec_id").alias("id_a"), "id_b")
+             .distinct())
+    va = e.select(F.col("vec_id").alias("id_a"),
+                  F.col("vec").alias("va"), F.col("norm").alias("na"))
+    vb = e.select(F.col("vec_id").alias("id_b"),
+                  F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    cos = F.expr(_DOT.format(a="va", b="vb")) / (
+        F.col("na") * F.col("nb"))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", F.round(cos, 6).alias("cos6"))
             .filter(F.col("cos6") >= threshold)
-            .select("id_a", "id_b", F.round("cos6", 4).alias("cos"))
-            .distinct())
+            .select("id_a", "id_b", F.round("cos6", 4).alias("cos")))
 
 
 QUERIES = {

@@ -8,10 +8,10 @@ The 10x corpus replicates sf0.1 with shifted ids (doc_id/vec_id +
 k * n) into a scratch directory — content distribution identical,
 cardinality 10x.  ``ngram_jaccard`` / ``embdup_cosine_exact`` are the
 declared all-pairs baselines and refuse inputs this large (the guard
-is part of the design; the probe asserts it fires).  For
-``embdup_cosine_lsh`` the probe raises ``band_bits`` 4 -> 8 at 10x —
-the documented corpus-size dial (bucket size n/2^bits): fixed bits on
-a near-uniform corpus is quadratic within buckets by construction.
+is part of the design; the probe asserts it fires).  The LSH queries
+run with NO overrides: similarity.lsh_schedule derives (bands, bits)
+from the input count, so the 10x leg exercises the default entry
+point end-to-end (bucket size n/2^bits held ~constant automatically).
 
 Usage: python scripts/scale_probe.py [out_dir]   (default /tmp/sf1)
 Prints one JSON line per family member + a summary line.
@@ -94,7 +94,6 @@ def main():
 
     from jerex_spark.caching import release_persisted
     from jerex_spark.operators import all_queries
-    from jerex_spark.operators.dedup import embdup_cosine_lsh
     from jerex_spark.session import build_session
     spark = build_session(app="scale-probe", master="local[32]")
     qs = all_queries()
@@ -102,9 +101,8 @@ def main():
               "dedup_lsh_verified", "canon_gazetteer", "lsh_topk",
               "ivf_topk", "embdup_cosine_lsh")
 
-    def run(name, sf_dir, **kw):
-        fn = (lambda s, d: embdup_cosine_lsh(s, d, **kw)) \
-            if name == "embdup_cosine_lsh" and kw else qs[name][0]
+    def run(name, sf_dir):
+        fn = qs[name][0]
         best, rows = float("inf"), None
         for _ in range(2):                       # best-of-2 (host noise)
             t0 = time.time()
@@ -118,10 +116,8 @@ def main():
     results = {}
     try:
         for name in family:
-            kw1 = ({"band_bits": 8}
-                   if name == "embdup_cosine_lsh" else {})
             t_small, r_small = run(name, sf01)
-            t_big, r_big = run(name, sf1, **kw1)
+            t_big, r_big = run(name, sf1)
             results[name] = {
                 "sf0.1_sec": round(t_small, 2), "sf1_sec": round(t_big, 2),
                 "ratio": round(t_big / max(t_small, 1e-9), 2),

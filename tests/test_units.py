@@ -153,3 +153,24 @@ def test_weight_artifact_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         scoring.relation_logits_global(pr, w),
         scoring.relation_logits_global(pr2, w2))
+
+
+def test_lsh_schedule_derivation():
+    """(bands, bits) auto-derivation: bits keep buckets ~constant as n
+    grows, bands restore the design recall; explicit overrides and the
+    small-n floors pass through untouched."""
+    from jerex_spark.operators.similarity import (MAX_BANDS, lsh_schedule)
+    # small-n operating points are the measured defaults (floors)
+    assert lsh_schedule(500, 0.45, min_bands=16) == (16, 4)
+    assert lsh_schedule(500, 0.4, min_bands=24) == (24, 4)
+    # 10x corpus: bits grow so bucket size stays ~TARGET_BUCKET_ROWS,
+    # bands grow to keep pairs at the design cosine recalled
+    bands1, bits1 = lsh_schedule(5000, 0.45, min_bands=16)
+    assert bits1 == 7 and bands1 == 61
+    bands2, bits2 = lsh_schedule(50000, 0.45, min_bands=16)
+    assert bits2 > bits1 and bands2 <= MAX_BANDS
+    # explicit overrides are never second-guessed
+    assert lsh_schedule(10 ** 9, 0.45, n_bands=8, band_bits=4) == (8, 4)
+    # bits override alone still derives bands for that bits choice
+    bands3, bits3 = lsh_schedule(5000, 0.45, band_bits=4, min_bands=16)
+    assert bits3 == 4 and bands3 == 16
