@@ -127,11 +127,15 @@ def scaling_interleaved(n_low: int, n_high: int, sf_dir: str,
     t_low = t_high = float("inf")
     n_docs = 0
     for r in range(rounds):
-        # warm only the first visit of each leg (worker import cost)
+        # warm EVERY visit: each flagship_wall builds a fresh session,
+        # so worker-import cost recurs per leg per round — warming only
+        # round 0 would time cold sessions in rounds >= 1 and hand the
+        # min back to the round-0 sequential pair (the host-noise bias
+        # the interleaving exists to remove)
         a, n_docs = flagship_wall(f"local[{n_low}]", sf_dir, replicate,
-                                  runs=1, warm=(r == 0))
+                                  runs=1, warm=True)
         b, _ = flagship_wall(f"local[{n_high}]", sf_dir, replicate,
-                             runs=1, warm=(r == 0))
+                             runs=1, warm=True)
         t_low = min(t_low, a)
         t_high = min(t_high, b)
     return t_low, t_high, n_docs

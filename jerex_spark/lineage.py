@@ -110,8 +110,9 @@ class CheckpointedStage:
                 if os.path.exists(gdir):     # crashed attempt: redo cleanly
                     shutil.rmtree(gdir)
                 out.write.mode("overwrite").parquet(gdir)
-                rows_out = out.sparkSession.read.parquet(gdir).count()
-                self._append_manifest({
+                written = out.sparkSession.read.parquet(gdir)
+                rows_out = written.count()
+                entry = {
                     "stage": self.name, "group": g,
                     "buckets": list(range(g * self.group_size,
                                           (g + 1) * self.group_size)),
@@ -122,7 +123,11 @@ class CheckpointedStage:
                     "status": "done",
                     "finished_at": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                })
+                }
+                capped = self._capped_counts(written)
+                if capped is not None:
+                    entry["capped"] = capped
+                self._append_manifest(entry)
         finally:
             bucketed.unpersist()
 
@@ -148,6 +153,28 @@ class CheckpointedStage:
                 f"migrate the existing groups first")
         return fp
 
+    @staticmethod
+    def _capped_counts(df: DataFrame) -> dict | None:
+        """Per-group cap-truncation counts when the stage output carries
+        the extract's ``truncated`` flag struct (SURVEY.md §7.3 item 4:
+        caps are logged, never silent).  Recording them in the manifest
+        means a 100x run reports how many docs each stage truncated
+        without a separate full scan of the output."""
+        from pyspark.sql.types import BooleanType, StructType
+        if "truncated" not in df.columns:
+            return None
+        t = df.schema["truncated"].dataType
+        if not isinstance(t, StructType):
+            return None
+        flags = [f.name for f in t.fields
+                 if isinstance(f.dataType, BooleanType)]
+        if not flags:
+            return None
+        row = df.agg(*[
+            F.sum(F.col(f"truncated.{f}").cast("int")).alias(f)
+            for f in flags]).collect()[0]
+        return {f: int(row[f] or 0) for f in flags}
+
     def is_complete(self, df: DataFrame, key: str = "doc_key") -> bool:
         bucketed = self._bucketed(df, key)
         fps = self._fingerprints(bucketed, key)
@@ -166,7 +193,7 @@ class CheckpointedStage:
         ms = self.metrics()
         wall_s = sum(e["wall_ms"] for e in ms) / 1000.0
         rows_in = sum(e["rows_in"] for e in ms)
-        return {
+        out = {
             "stage": self.name,
             "groups_done": len(ms),
             "rows_in": rows_in,
@@ -174,3 +201,10 @@ class CheckpointedStage:
             "wall_s": round(wall_s, 2),
             "rows_per_sec": round(rows_in / wall_s, 1) if wall_s else 0.0,
         }
+        capped: dict[str, int] = {}
+        for e in ms:
+            for k, v in (e.get("capped") or {}).items():
+                capped[k] = capped.get(k, 0) + v
+        if capped:
+            out["capped"] = capped
+        return out

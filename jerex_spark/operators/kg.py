@@ -153,10 +153,16 @@ agg AS (
              - least({DEFAULT.max_span_size}, n)
                * (least({DEFAULT.max_span_size}, n) + 1) // 2) AS raw
   FROM slen GROUP BY doc_key)
-SELECT doc_key, CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(least(raw, {DEFAULT.max_spans_per_doc}) AS BIGINT) AS n_spans
-FROM agg
+SELECT d.doc_key, CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       -- COALESCE inside: DuckDB's least() IGNORES nulls, so
+       -- least(NULL, cap) would be cap, not NULL
+       CAST(least(COALESCE(agg.raw, 0), {DEFAULT.max_spans_per_doc})
+            AS BIGINT) AS n_spans
+FROM (SELECT source || '/' || doc_id AS doc_key FROM documents) d
+LEFT JOIN agg ON agg.doc_key = d.doc_key
 """
+# ^ LEFT JOIN back to documents: an empty/whitespace-only doc yields no
+#   tok rows, but the mapInPandas side still emits its (0, 0) row.
 
 
 _TRIPLE_COLS = ["doc_key", "head_idx", "tail_idx", "rel_type",

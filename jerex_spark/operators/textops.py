@@ -89,10 +89,13 @@ agg AS (
              - least({CFG.max_span_size}, n)
                * (least({CFG.max_span_size}, n) + 1) // 2) AS raw
   FROM sent GROUP BY doc_id)
-SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-       CAST(raw AS BIGINT) AS n_spans
-FROM agg
+SELECT d.doc_id, CAST(COALESCE(agg.n_tokens, 0) AS INT) AS n_tokens,
+       CAST(COALESCE(agg.raw, 0) AS BIGINT) AS n_spans
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
+# ^ LEFT JOIN back to documents: an empty/whitespace-only doc yields no
+#   tok rows, but the Spark twin still emits its (0, 0) row — without
+#   the join the doc vanishes from the oracle side only.
 
 
 # --- P1 relational: exploded span table (sizes 1..3), intra-sentence ----

@@ -297,6 +297,12 @@ def load_jerex_state_dict(sd: dict, cfg: PipelineConfig = DEFAULT,
         elif kind == "vec_w":           # (1, d) classifier row
             fields[name] = a.reshape(-1)
         elif kind == "scalar":          # (1,) bias
+            # float fields skip the later shape check, so validate here:
+            # a multi-element "bias" must raise, not truncate to [0]
+            if a.size != 1:
+                raise ValueError(
+                    f"shape mismatch for {name}: checkpoint "
+                    f"{tuple(a.shape)} vs expected scalar (1,)")
             fields[name] = float(a.reshape(-1)[0])
         else:                           # embedding (count, m)
             fields[name] = a

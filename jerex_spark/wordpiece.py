@@ -44,13 +44,33 @@ def _is_control(ch: str) -> bool:
     return unicodedata.category(ch).startswith("C")
 
 
+# CJK Unified Ideograph blocks from the public BERT basic tokenizer's
+# chinese-char spacing pass (Devlin et al. 2019 reference code): each
+# ideograph becomes its own word, so multilingual vocabs tokenize CJK
+# runs per-character instead of falling through to [UNK]
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+    (0xF900, 0xFAFF), (0x2F800, 0x2FA1F),
+)
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
 def basic_tokenize(text: str, lower: bool = True) -> list[str]:
-    """Clean + (lower, strip accents) + punctuation split + ws split."""
+    """Clean + CJK spacing + (lower, strip accents) + punctuation split
+    + ws split."""
     cleaned = []
     for ch in text:
         if ch == "\x00" or ch == "�" or _is_control(ch):
             continue
-        cleaned.append(" " if ch.isspace() else ch)
+        if _is_cjk(ch):
+            cleaned.append(f" {ch} ")
+        else:
+            cleaned.append(" " if ch.isspace() else ch)
     out: list[str] = []
     for word in "".join(cleaned).split():
         if lower:

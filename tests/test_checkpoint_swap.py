@@ -283,3 +283,32 @@ def test_wordpiece_pipeline_parity(spark, tmp_path):
             for k, txt in zip(pdf["doc_key"], pdf["text"])
             for t in run_document(k, txt, cfg).triples}
     assert got == want
+
+
+def test_wordpiece_cjk_spacing(tmp_path):
+    """The public BERT basic pass spaces CJK ideographs into their own
+    words, so multilingual vocabs tokenize CJK runs per character
+    instead of greedy-matching the whole run (or [UNK]-ing it)."""
+    from jerex_spark.wordpiece import WordPieceTokenizer, basic_tokenize, \
+        write_vocab
+    assert basic_tokenize("中国abc中") == ["中", "国", "abc", "中"]
+    # a vocab with the individual ideographs but NOT the bigram
+    path = str(tmp_path / "cjk_vocab.txt")
+    write_vocab(path, ["[UNK]", "中", "国", "a", "##b", "##c"])
+    wp = WordPieceTokenizer.from_file(path)
+    v = wp.vocab
+    assert wp.encode("中国") == [v["中"], v["国"]]
+    # kana is NOT in the CJK ideograph blocks (matches the reference
+    # tokenizer) -> whole word falls through to WordPiece/[UNK]
+    assert basic_tokenize("カタカナ") == ["カタカナ"]
+
+
+def test_loader_rejects_multielement_scalar():
+    """A malformed multi-element classifier bias must raise like every
+    other mis-shaped tensor, not silently truncate to its first value
+    (scalar fields skip the global shape check)."""
+    sd = _mi_state_dict()
+    sd["mention_localization.mention_classifier.bias"] = np.zeros(
+        (3,), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_jerex_state_dict(sd)

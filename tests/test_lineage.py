@@ -96,3 +96,28 @@ def test_schema_change_refuses_resume(spark, tmp_path):
     st.run(df, _stage_fn)
     assert st.is_complete(df)
     assert all(e["schema_fp"] for e in st.metrics())
+
+
+def test_manifest_carries_capped_counts(spark, tmp_path):
+    """When the checkpointed stage is the extract, each manifest line
+    (and the stage rollup) reports how many docs each cap truncated —
+    a 100x run surfaces truncation without a separate output scan."""
+    from jerex_spark.extract import extract_graph
+    out = str(tmp_path / "capped_stage")
+    long_doc = " ".join(f"tok{i}" for i in range(3000)) + "."
+    rows = [(f"d/{i}", f"doc {i} alpha beta gamma.") for i in range(12)]
+    rows.append(("d/long", long_doc))          # trips the 4096-span cap
+    df = spark.createDataFrame(rows, "doc_key string, text string")
+    st = CheckpointedStage("cap1", out, n_buckets=4, group_size=2)
+    st.run(df, extract_graph)
+    entries = st.metrics()
+    assert all("capped" in e for e in entries)
+    assert set(entries[0]["capped"]) == {"spans", "mentions", "pairs"}
+    total = st.throughput_summary()["capped"]
+    assert total["spans"] == 1                 # exactly the long doc
+    # stages without a truncated column don't grow the field
+    st2 = CheckpointedStage("cap2", str(tmp_path / "plain"), n_buckets=4,
+                            group_size=2)
+    st2.run(df, _stage_fn)
+    assert all("capped" not in e for e in st2.metrics())
+    assert "capped" not in st2.throughput_summary()

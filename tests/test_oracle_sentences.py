@@ -30,6 +30,8 @@ EDGE_DOCS = [
     "a. b. c. d.",                               # 1-token sentences
     "trailing period ends the doc.",
     "double  spaced   tokens. and a second sentence.",
+    "",                                          # empty doc: (0, 0) row
+    "   ",                                       # whitespace-only doc
 ]
 
 
