@@ -42,6 +42,10 @@ class PipelineConfig:
     #   the reference's offset-map + [UNK]-fallback semantics.
     weights_path: str | None = None
     wordpiece_vocab: str | None = None
+    # attention head count for a loaded bert.* encoder (bert_numpy) —
+    # the state_dict doesn't carry it; 12 = BERT-base.  Only read at
+    # state_dict-conversion time; the .npz artifact stores it.
+    bert_num_heads: int = 12
 
     # --- model variant (ref jerex/models/__init__.py:9-20 registers
     #     'joint_multi_instance' and 'joint_global') ---

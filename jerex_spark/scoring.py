@@ -42,10 +42,17 @@ def relu(x: np.ndarray) -> np.ndarray:
 
 def encode(encoding: list[int], w: SurrogateWeights,
            cfg: PipelineConfig = DEFAULT) -> np.ndarray:
-    """F1: (L,) sub-word ids -> (L, d) fp32 contextual vectors."""
+    """F1: (L,) sub-word ids -> (L, d) fp32 contextual vectors.
+
+    Dispatches to the numpy BERT forward (bert_numpy.py) when the
+    weight artifact carries a loaded ``bert.*`` encoder; otherwise the
+    frozen surrogate below."""
     ids = np.asarray(encoding, dtype=np.int64)
     if ids.size == 0:
         return np.zeros((0, cfg.hidden_size), dtype=np.float32)
+    if w.bert is not None:
+        from .bert_numpy import bert_encode
+        return bert_encode(ids, w.bert)
     e = w.tok_emb[ids % cfg.vocab_size]
     pos = np.arange(ids.size) % cfg.max_positions
     # local mixing: h_i = .5 e_i + .25 e_{i-1} + .25 e_{i+1}

@@ -15,9 +15,10 @@ Swapping in real JEREX checkpoint weights is a weight-file change, not
 a code change: every consumer goes through :class:`SurrogateWeights`,
 and :func:`load_jerex_state_dict` maps a checkpoint's state_dict (the
 reference's exact layer names, torch Linear layout) onto this layout —
-tested end-to-end in tests/test_checkpoint_swap.py.  The ``bert.*``
-encoder weights are the stated boundary: the surrogate encoder stands
-in for BERT (torch is unavailable), all scoring heads load for real.
+tested end-to-end in tests/test_checkpoint_swap.py.  ``bert.*``
+encoder tensors, when the checkpoint carries them, load into the numpy
+BERT forward (bert_numpy.py) and replace the surrogate encoder — the
+swap covers the full model, not just the heads.
 
 Both the plain-Python reference executor (reference_executor.py) and
 the Spark pipeline (extract.py) load THIS artifact, so triple parity
@@ -74,27 +75,40 @@ class SurrogateWeights:
     pair_b: np.ndarray        # (d,)
     relg_w: np.ndarray        # (d, n_rel_types)  global rel head (F9)
     relg_b: np.ndarray        # (n_rel_types,)
+    # real BERT encoder (bert_numpy.BertWeights) — None runs the
+    # surrogate encoder; set when a checkpoint's bert.* tensors were
+    # exported into the artifact (scoring.encode dispatches on this)
+    bert: object | None = None
 
 
 _CACHE: dict[int, SurrogateWeights] = {}
 
-_FIELDS = [f for f in SurrogateWeights.__dataclass_fields__]
+# head/embedding array fields (the generic save/load path); the
+# optional nested encoder is flattened separately by bert_numpy
+_FIELDS = [f for f in SurrogateWeights.__dataclass_fields__
+           if f != "bert"]
 
 
 def save_weights(w: SurrogateWeights, path: str) -> None:
     """Persist the artifact as .npz — the versioned weight file a real
     deployment ships (a trained JEREX checkpoint exported to these
     arrays drops in here with no code change)."""
-    np.savez(path, **{f: np.asarray(getattr(w, f)) for f in _FIELDS})
+    arrs = {f: np.asarray(getattr(w, f)) for f in _FIELDS}
+    if w.bert is not None:
+        from .bert_numpy import bert_to_npz_dict
+        arrs.update(bert_to_npz_dict(w.bert))
+    np.savez(path, **arrs)
 
 
 def load_weights_npz(path: str) -> SurrogateWeights:
     """Load a weight artifact from file (counterpart of save_weights)."""
+    from .bert_numpy import bert_from_npz
     z = np.load(path)
     kw = {}
     for f in _FIELDS:
         a = z[f]
         kw[f] = float(a) if a.ndim == 0 else a.astype(np.float32)
+    kw["bert"] = bert_from_npz(z)
     return SurrogateWeights(**kw)
 
 
@@ -245,11 +259,12 @@ def load_jerex_state_dict(sd: dict, cfg: PipelineConfig = DEFAULT,
     """Map a JEREX checkpoint ``state_dict`` (torch tensor / numpy
     array values under the reference's exact key names) onto the
     SurrogateWeights layout.  Returns (weights, report) where report
-    lists ``consumed`` keys, ``ignored`` keys (the ``bert.*`` encoder —
-    the scoring surrogate stands in for BERT here, torch being
-    unavailable; swapping the encoder itself is the one remaining
-    boundary and is stated, not hidden) and ``kept_surrogate`` fields
-    (heads absent from this checkpoint variant).
+    lists ``consumed`` keys (heads AND, when present, the ``bert.*``
+    encoder — bert_numpy implements the BERT inference forward, so a
+    checkpoint's learned encoder drives the pipeline for real; only
+    ``bert.pooler.*`` is ignored, unused at inference) and
+    ``kept_surrogate`` fields (heads absent from this checkpoint
+    variant).
 
     Every consumed tensor is shape-checked against the cfg-derived
     expectation; a mismatch raises instead of silently mis-mapping —
@@ -275,9 +290,13 @@ def load_jerex_state_dict(sd: dict, cfg: PipelineConfig = DEFAULT,
         raise ValueError(
             "state_dict carries BOTH variants' entity-type embeddings; "
             "a JEREX checkpoint is one model — refusing to guess")
+    bert_keys = {}
     for key, v in sd.items():
         if key.startswith("bert."):
-            ignored.append(key)
+            if key.startswith("bert.pooler."):
+                ignored.append(key)   # unused at inference (ref uses
+            else:                     # last_hidden_state only)
+                bert_keys[key] = v
             continue
         if key == "relation_classification.rel_classifier.weight":
             fields["rel_w2" if mi else "relg_w"] = arr(v).T
@@ -308,6 +327,21 @@ def load_jerex_state_dict(sd: dict, cfg: PipelineConfig = DEFAULT,
             fields[name] = a
         consumed.append(key)
 
+    # bert.* encoder: consumed for real when the checkpoint carries one
+    # (bert_numpy implements the inference forward); heads then run on
+    # the checkpoint's OWN contextual vectors — the full model swap
+    bert_w = None
+    if bert_keys:
+        from .bert_numpy import bert_from_state_dict
+        bert_w = bert_from_state_dict(bert_keys, cfg.bert_num_heads)
+        if bert_w.tok.shape[1] != cfg.hidden_size:
+            raise ValueError(
+                f"bert hidden size {bert_w.tok.shape[1]} != "
+                f"cfg.hidden_size {cfg.hidden_size} — the heads consume "
+                f"the encoder's vectors; set cfg.hidden_size to the "
+                f"checkpoint's")
+        consumed += sorted(bert_keys)
+
     base = base if base is not None else load_weights(cfg)
     expect = {f: getattr(base, f) for f in _FIELDS}
     for name, a in fields.items():
@@ -321,9 +355,13 @@ def load_jerex_state_dict(sd: dict, cfg: PipelineConfig = DEFAULT,
                 f"set cfg geometry (hidden_size / meta_embedding_size / "
                 f"type ontology / bucket counts) to the checkpoint's")
     kept = [f for f in _FIELDS if f not in fields]
-    merged = SurrogateWeights(**{**expect, **fields})
+    merged = SurrogateWeights(**{**expect, **fields},
+                              bert=bert_w if bert_w is not None
+                              else base.bert)
     report = {"consumed": sorted(consumed), "ignored": sorted(ignored),
               "kept_surrogate": sorted(kept),
+              "encoder": "checkpoint_bert" if bert_w is not None
+              else "surrogate",
               "variant": "multi_instance" if mi
               else ("global" if glob else "heads_common")}
     return merged, report

@@ -41,8 +41,7 @@ def _mi_state_dict(cfg=DEFAULT, seed=7, mention_bias=0.5, coref_bias=1.0,
                 ).astype(np.float32)
 
     return {
-        "bert.embeddings.word_embeddings.weight": e(30522, d),
-        "bert.encoder.layer.0.attention.self.query.weight": t(d, d),
+        "bert.pooler.dense.weight": t(d, d),   # unused at inference
         "mention_localization.linear.weight": t(d, d + m),
         "mention_localization.linear.bias": np.zeros(d, np.float32),
         "mention_localization.mention_classifier.weight": t(1, d, 0.6),
@@ -82,8 +81,9 @@ def test_loader_maps_and_transposes():
     sd = _mi_state_dict()
     w, report = load_jerex_state_dict(sd)
     assert report["variant"] == "multi_instance"
-    assert all(k.startswith("bert.") for k in report["ignored"])
-    assert len(report["ignored"]) == 2
+    # pooler is the only ignorable bert key (unused at inference)
+    assert report["ignored"] == ["bert.pooler.dense.weight"]
+    assert report["encoder"] == "surrogate"
     # Linear weights transposed, embeddings verbatim, classifier row
     # flattened, scalar bias unwrapped
     np.testing.assert_array_equal(
@@ -102,8 +102,9 @@ def test_loader_maps_and_transposes():
     # global-only fields stay surrogate
     assert {"relg_w", "relg_b", "pair_w", "pair_b"} <= set(
         report["kept_surrogate"])
-    # encoder always surrogate (documented boundary)
+    # no bert.* encoder in this checkpoint -> surrogate encoder fields
     assert {"tok_emb", "pos_emb", "enc_w"} <= set(report["kept_surrogate"])
+    assert w.bert is None
 
 
 def test_loader_global_variant():
@@ -312,3 +313,171 @@ def test_loader_rejects_multielement_scalar():
         (3,), np.float32)
     with pytest.raises(ValueError, match="shape mismatch"):
         load_jerex_state_dict(sd)
+
+
+# --- numpy BERT encoder (bert.* checkpoint closure) ---------------------
+def _bert_state_dict(d=64, n_layers=2, vocab=120, positions=48,
+                     inter=128, seed=3, scale=0.25):
+    """Synthetic HF-layout bert.* state_dict (torch shapes: Linear
+    weights (out, in))."""
+    rng = np.random.default_rng(seed)
+
+    def t(o, i):
+        return (rng.standard_normal((o, i)) * scale).astype(np.float32)
+
+    sd = {
+        "bert.embeddings.word_embeddings.weight": t(vocab, d),
+        "bert.embeddings.position_embeddings.weight": t(positions, d),
+        "bert.embeddings.token_type_embeddings.weight": t(2, d),
+        "bert.embeddings.LayerNorm.weight": np.ones(d, np.float32),
+        "bert.embeddings.LayerNorm.bias": np.zeros(d, np.float32),
+    }
+    for li in range(n_layers):
+        L = f"bert.encoder.layer.{li}."
+        sd.update({
+            L + "attention.self.query.weight": t(d, d),
+            L + "attention.self.query.bias": np.zeros(d, np.float32),
+            L + "attention.self.key.weight": t(d, d),
+            L + "attention.self.key.bias": np.zeros(d, np.float32),
+            L + "attention.self.value.weight": t(d, d),
+            L + "attention.self.value.bias": np.zeros(d, np.float32),
+            L + "attention.output.dense.weight": t(d, d),
+            L + "attention.output.dense.bias": np.zeros(d, np.float32),
+            L + "attention.output.LayerNorm.weight":
+                np.ones(d, np.float32),
+            L + "attention.output.LayerNorm.bias":
+                np.zeros(d, np.float32),
+            L + "intermediate.dense.weight": t(inter, d),
+            L + "intermediate.dense.bias": np.zeros(inter, np.float32),
+            L + "output.dense.weight": t(d, inter),
+            L + "output.dense.bias": np.zeros(d, np.float32),
+            L + "output.LayerNorm.weight": np.ones(d, np.float32),
+            L + "output.LayerNorm.bias": np.zeros(d, np.float32),
+        })
+    return sd
+
+
+def test_bert_numpy_erf_and_gelu():
+    """The A&S erf approximation is exact at fp32 precision."""
+    import math
+
+    from jerex_spark.bert_numpy import erf, gelu
+    xs = np.linspace(-6, 6, 4001).astype(np.float32)
+    want = np.array([math.erf(float(x)) for x in xs])
+    assert np.abs(erf(xs) - want).max() < 2e-7
+    # gelu endpoints: ~0 for large negative, ~x for large positive
+    assert abs(float(gelu(np.array([10.0], np.float32))[0]) - 10.0) < 1e-5
+    assert abs(float(gelu(np.array([-10.0], np.float32))[0])) < 1e-6
+
+
+def test_bert_forward_closed_form():
+    """1-layer, 1-head forward with hand-constructed weights has a
+    closed form (q=k=0 -> uniform attention -> mean pooling; zero FFN),
+    re-derived independently with per-row loops here."""
+    from jerex_spark.bert_numpy import BertWeights, bert_encode
+    rng = np.random.default_rng(9)
+    d, V, P = 8, 20, 16
+    tok = rng.standard_normal((V, d)).astype(np.float32)
+    eye = np.eye(d, dtype=np.float32)
+    zeros_w = np.zeros((d, d), np.float32)
+    ones = np.ones(d, np.float32)
+    zed = np.zeros(d, np.float32)
+    bw = BertWeights(
+        n_heads=1, tok=tok, pos=np.zeros((P, d), np.float32),
+        typ=np.zeros((2, d), np.float32), emb_ln_g=ones, emb_ln_b=zed,
+        q_w=zeros_w[None], q_b=zed[None], k_w=zeros_w[None],
+        k_b=zed[None], v_w=eye[None], v_b=zed[None], ao_w=eye[None],
+        ao_b=zed[None], a_ln_g=ones[None], a_ln_b=zed[None],
+        fi_w=np.zeros((1, d, 4 * d), np.float32),
+        fi_b=np.zeros((1, 4 * d), np.float32),
+        fo_w=np.zeros((1, 4 * d, d), np.float32), fo_b=zed[None],
+        f_ln_g=ones[None], f_ln_b=zed[None])
+
+    def ln_rows(x):
+        out = np.empty_like(x)
+        for i in range(x.shape[0]):
+            r = x[i]
+            out[i] = (r - r.mean()) / np.sqrt(r.var() + 1e-12)
+        return out
+
+    ids = np.array([3, 7, 7, 1, 19])
+    x = ln_rows(tok[ids].copy())
+    x = ln_rows(x + x.mean(axis=0))        # uniform attn -> mean pool
+    want = ln_rows(x)                      # zero FFN -> LN only
+    got = bert_encode(ids, bw)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bert_loader_roundtrip_and_dispatch(tmp_path):
+    """bert.* keys load for real (transposed into x@W layout), survive
+    the .npz artifact, and flip scoring.encode off the surrogate."""
+    from jerex_spark import scoring
+    from jerex_spark.weights import load_weights_npz
+    cfg = dataclasses.replace(DEFAULT, bert_num_heads=4)
+    sd = {**_mi_state_dict(), **_bert_state_dict()}
+    w, report = load_jerex_state_dict(sd, cfg)
+    assert report["encoder"] == "checkpoint_bert"
+    assert w.bert is not None and w.bert.n_heads == 4
+    np.testing.assert_array_equal(
+        w.bert.q_w[1],
+        sd["bert.encoder.layer.1.attention.self.query.weight"].T)
+    ids = [5, 17, 3, 99, 42]
+    h = scoring.encode(ids, w, cfg)
+    assert h.shape == (5, cfg.hidden_size)
+    h_surrogate = scoring.encode(ids, load_weights(DEFAULT), cfg)
+    assert np.abs(h - h_surrogate).max() > 0.01
+    path = str(tmp_path / "with_bert.npz")
+    save_weights(w, path)
+    w2 = load_weights_npz(path)
+    np.testing.assert_array_equal(scoring.encode(ids, w2, cfg), h)
+    # positions beyond the table saturate (stated boundary)
+    long_ids = list(range(100)) * 2
+    assert scoring.encode(long_ids, w, cfg).shape == (200, 64)
+
+
+def test_bert_loader_rejects_partial_and_mismatched():
+    from jerex_spark.weights import load_jerex_state_dict as L
+    cfg = dataclasses.replace(DEFAULT, bert_num_heads=4)
+    sd = {**_mi_state_dict(), **_bert_state_dict()}
+    del sd["bert.encoder.layer.1.intermediate.dense.weight"]
+    with pytest.raises(ValueError, match="partial encoder"):
+        L(sd, cfg)
+    sd2 = {**_mi_state_dict(), **_bert_state_dict()}
+    with pytest.raises(ValueError, match="not divisible"):
+        L(sd2, dataclasses.replace(DEFAULT, bert_num_heads=7))
+
+
+def test_bert_checkpoint_full_pipeline_parity(spark, tmp_path):
+    """The FULL model swap: checkpoint heads + checkpoint bert.*
+    encoder -> npz -> Spark extract vs plain-Python reference executor,
+    exact triple-identity parity — no surrogate component remains in
+    the scoring path."""
+    from jerex_spark.corpus import make_pages
+    from jerex_spark.extract import extract_graph
+    from jerex_spark.reference_executor import run_document
+    cfg0 = dataclasses.replace(DEFAULT, bert_num_heads=4)
+    sd = {**_mi_state_dict(mention_bias=2.0, coref_bias=1.0),
+          **_bert_state_dict()}
+    w, report = load_jerex_state_dict(sd, cfg0)
+    assert report["encoder"] == "checkpoint_bert"
+    path = str(tmp_path / "full_swap.npz")
+    save_weights(w, path)
+    cfg = dataclasses.replace(cfg0, weights_path=path)
+
+    pdf = make_pages(10)[["url", "text"]].rename(columns={"url": "doc_key"})
+    got = set()
+    n_sp_mentions = 0
+    for r in extract_graph(spark.createDataFrame(pdf), cfg).collect():
+        n_sp_mentions += len(r.mentions)
+        for t in r.triples:
+            got.add((r.doc_key, t.head_idx, t.tail_idx, t.rel_type))
+    want = set()
+    n_mentions = 0
+    for k, txt in zip(pdf["doc_key"], pdf["text"]):
+        res = run_document(k, txt, cfg)
+        n_mentions += len(res.mentions)
+        for t in res.triples:
+            want.add((k, t["head_idx"], t["tail_idx"], t["rel_type"]))
+    assert n_mentions > 0, "bert-encoded pipeline produced no mentions"
+    assert n_sp_mentions == n_mentions
+    assert got == want
