@@ -296,38 +296,85 @@ def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
     (n_bands, band_bits) default to similarity.lsh_schedule: bits grow
     with the corpus so bucket sizes stay ~constant, bands grow so pairs
     at ``threshold`` keep >= DESIGN_RECALL collision probability — no
-    manual dial at any corpus size.  The band join carries only ids
-    (the buckets are computed from the persisted vectors, then the
-    payload is dropped); a true near-dup colliding in all B bands costs
-    one cosine, not B — the distinct runs BEFORE the vectors are
-    re-joined, so the dominant per-candidate term is paid once per
-    unique pair."""
+    manual dial at any corpus size.
+
+    Stage order (each step load-bearing at corpus scale):
+
+    1. EXACT-DUP COLLAPSE — group identical vectors (web corpora are
+       full of byte-identical embeddings; the 10x probe's replicated
+       corpus is 90% exact dups).  LSH then runs on distinct
+       representatives only; intra-group pairs are emitted directly
+       (their cosine is the self-cosine — recall 1.0 by construction)
+       and cross-group verdicts expand to all member pairs.  Without
+       this, k copies of one vector cost k^2 candidate work for pairs
+       whose answer is known.
+    2. The band join carries only ids (buckets computed from the
+       persisted vectors, payload dropped), under a shuffle_hash hint:
+       both sides are O(n_distinct x bands) and their size estimate
+       passes through a pandas UDF + posexplode, which Catalyst
+       underestimates enough to pick a broadcast build (observed
+       OOM at the 10x probe).
+    3. Candidate pairs are DISTINCT'd before the vectors re-join: a
+       true near-dup colliding in all B bands costs one cosine, not
+       B."""
     from ..caching import persist_tracked
     from .similarity import (_DOT, _band_buckets, _emb, _with_norm,
                              lsh_schedule)
-    e = persist_tracked(_with_norm(_emb(spark, sf_dir)))
+    e = _with_norm(_emb(spark, sf_dir))
+    groups = persist_tracked(
+        e.groupBy("vec").agg(
+            F.min("vec_id").alias("vec_id"),
+            F.first("norm").alias("norm"),
+            F.sort_array(F.collect_list("vec_id")).alias("members"),
+            F.count("*").alias("k")))
     if n_bands is None or band_bits is None:
         # the count also materializes the persisted table we join below
         n_bands, band_bits = lsh_schedule(
-            e.count(), design_cos=threshold,
+            groups.count(), design_cos=threshold,
             n_bands=n_bands, band_bits=band_bits,
             min_bands=EMBDUP_N_BANDS)
-    ba = (_band_buckets(e, n_bands=n_bands, band_bits=band_bits)
+    reps = groups.select("vec_id", "vec", "norm")
+    ba = (_band_buckets(reps, n_bands=n_bands, band_bits=band_bits)
           .select("vec_id", "band", "bucket"))
     pairs = (ba.join(ba.select(F.col("vec_id").alias("id_b"),
-                               "band", "bucket"),
+                               "band", "bucket").hint("shuffle_hash"),
                      ["band", "bucket"])
              .filter(F.col("vec_id") < F.col("id_b"))
              .select(F.col("vec_id").alias("id_a"), "id_b")
              .distinct())
-    va = e.select(F.col("vec_id").alias("id_a"),
-                  F.col("vec").alias("va"), F.col("norm").alias("na"))
-    vb = e.select(F.col("vec_id").alias("id_b"),
-                  F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    va = reps.select(F.col("vec_id").alias("id_a"),
+                     F.col("vec").alias("va"), F.col("norm").alias("na"))
+    vb = reps.select(F.col("vec_id").alias("id_b"),
+                     F.col("vec").alias("vb"), F.col("norm").alias("nb"))
     cos = F.expr(_DOT.format(a="va", b="vb")) / (
         F.col("na") * F.col("nb"))
-    return (pairs.join(va, "id_a").join(vb, "id_b")
-            .select("id_a", "id_b", F.round(cos, 6).alias("cos6"))
+    rep_pairs = (pairs.join(va, "id_a").join(vb, "id_b")
+                 .select("id_a", "id_b", F.round(cos, 6).alias("cos6"))
+                 .filter(F.col("cos6") >= threshold))
+    # expand cross-group rep verdicts to all member pairs (identical
+    # vectors => identical cosine)
+    ga = groups.select(F.col("vec_id").alias("id_a"),
+                       F.col("members").alias("ma"))
+    gb = groups.select(F.col("vec_id").alias("id_b"),
+                       F.col("members").alias("mb"))
+    cross = (rep_pairs.join(ga, "id_a").join(gb, "id_b")
+             .select(F.explode("ma").alias("a"), "mb", "cos6")
+             .select("a", F.explode("mb").alias("b"), "cos6")
+             .select(F.least("a", "b").alias("id_a"),
+                     F.greatest("a", "b").alias("id_b"), "cos6"))
+    # intra-group pairs: numerically-computed self-cosine (== what the
+    # uncollapsed algorithm would compute for two identical vectors)
+    selfcos = F.round(
+        F.expr(_DOT.format(a="vec", b="vec"))
+        / (F.col("norm") * F.col("norm")), 6)
+    intra = (groups.filter(F.col("k") > 1)
+             .select(F.explode("members").alias("a"), "members",
+                     selfcos.alias("cos6"))
+             .select("a", F.explode("members").alias("b"), "cos6")
+             .filter(F.col("a") < F.col("b"))
+             .select(F.col("a").alias("id_a"),
+                     F.col("b").alias("id_b"), "cos6"))
+    return (cross.unionByName(intra)
             .filter(F.col("cos6") >= threshold)
             .select("id_a", "id_b", F.round("cos6", 4).alias("cos")))
 

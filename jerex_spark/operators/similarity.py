@@ -267,7 +267,12 @@ def lsh_topk(spark, sf_dir, top_k: int = TOP_K,
         .select(F.col("vec_id").alias("query_id"),
                 F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")),
         vec_col="qvec", n_bands=n_bands, band_bits=band_bits)
-    cand = (q_b.join(data_b, ["band", "bucket"])
+    # explicit broadcast of the QUERY side: it is bounded (n_queries x
+    # n_bands rows) at any corpus size, while the data side's size
+    # estimate passes through a pandas UDF + posexplode, which Catalyst
+    # underestimates — left alone it picked the corpus side as the
+    # broadcast build and OOM'd the driver at the 10x probe scale
+    cand = (F.broadcast(q_b).join(data_b, ["band", "bucket"])
             .filter(F.col("vec_id") != F.col("query_id")))
     cos = F.expr(_DOT.format(a="qvec", b="vec")) / (
         F.col("qnorm") * F.col("norm"))
@@ -403,7 +408,9 @@ def ivf_topk(spark, sf_dir, top_k: int = TOP_K,
     probes = (qc.withColumn("rn", F.row_number().over(wq))
               .filter(F.col("rn") <= N_PROBE)
               .select("query_id", "qvec", "qnorm", "cell"))
-    cand = (probes.join(assigned, "cell")
+    # probes is bounded (n_queries x N_PROBE rows) at any corpus size;
+    # broadcast it explicitly so the corpus side is never the build side
+    cand = (F.broadcast(probes).join(assigned, "cell")
             .filter(F.col("vec_id") != F.col("query_id")))
     cos = F.expr(_DOT.format(a="qvec", b="vec")) / (
         F.col("qnorm") * F.col("norm"))

@@ -136,3 +136,30 @@ def test_aqe_coalesces_small_shuffle(spark, sf001):
     out.collect()
     plan = _plan(out)
     assert "AQEShuffleRead" in plan or "CustomShuffleReader" in plan, plan
+
+
+def test_ann_joins_never_build_the_corpus_side(spark, sf001):
+    """The LSH/IVF candidate joins must broadcast only the BOUNDED side
+    (queries / probes) and never the corpus side: the corpus side's
+    size estimate passes through a pandas UDF + posexplode, which
+    Catalyst underestimates — left unhinted it picked the corpus side
+    as broadcast build and OOM'd the driver at the 10x scale probe."""
+    from jerex_spark.operators.dedup import embdup_cosine_lsh
+    from jerex_spark.operators.similarity import ivf_topk, lsh_topk
+
+    plan = _plan(lsh_topk(spark, sf001))
+    # exactly one broadcast join (queries), whose build side reads the
+    # query filter, not the whole corpus
+    assert plan.count("BroadcastExchange") == 1
+    bcast = plan.split("BroadcastExchange", 1)[1]
+    assert "query_id" in bcast.split("Generate", 1)[1].splitlines()[0]
+
+    plan = _plan(ivf_topk(spark, sf001))
+    assert "BroadcastHashJoin" in plan
+
+    # the band self-join must stay a partitioned (shuffle) join: both
+    # sides are O(n x bands)
+    plan = _plan(embdup_cosine_lsh(spark, sf001))
+    head = plan.split("ShuffledHashJoin", 1)
+    assert len(head) == 2, "band self-join lost its shuffle-hash shape"
+    assert "bucket" in head[1].splitlines()[0]

@@ -164,3 +164,32 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     got = spark.sql("select doc_key from dedup_stream").collect()
     keys = [r.doc_key for r in got]
     assert len(keys) == 40 and len(set(keys)) == 40
+
+
+def test_embdup_lsh_collapses_exact_duplicates(spark, tmp_path):
+    """Duplicate-heavy corpus (the web/replica pathology): the LSH path
+    collapses identical vectors before banding, then expands intra- and
+    cross-group pairs — output must equal the exact O(n^2) baseline's,
+    cosines included, while LSH work is done on distinct vectors only."""
+    import numpy as np
+    import pandas as pd
+
+    from jerex_spark.operators.dedup import (embdup_cosine_exact,
+                                             embdup_cosine_lsh)
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=(40, 64))
+    # 3 exact copies of each of the first 10 vectors + 30 singletons
+    vecs = list(base) + [base[i % 10] for i in range(20)]
+    pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [[float(v) for v in x] for x in vecs],
+    }).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    d = str(tmp_path)
+    exact = {(r.id_a, r.id_b, r.cos)
+             for r in embdup_cosine_exact(spark, d, threshold=0.9).collect()}
+    approx = {(r.id_a, r.id_b, r.cos)
+              for r in embdup_cosine_lsh(spark, d, threshold=0.9).collect()}
+    assert exact, "no dup pairs in the fixture"
+    # every exact-dup pair must be present (recall 1.0 by construction
+    # for identical vectors) and no pair may be invented
+    assert approx == exact
