@@ -46,7 +46,8 @@ def complete_linkage(dist: np.ndarray, threshold: float) -> list[list[int]]:
     if n == 1:
         return [[0]]
     W = np.full((n, n), np.inf, dtype=np.float64)
-    iu = np.triu_indices(n, 1)
+    from .scoring import triu_pairs
+    iu = triu_pairs(n)
     W[iu] = dist[iu]
     members: dict[int, list[int]] = {i: [i] for i in range(n)}
     while len(members) > 1:

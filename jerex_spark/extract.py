@@ -162,7 +162,7 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         nm = len(ms)
         st["cor_off"] = cor_n
         if nm > 1:
-            iu, ju = np.triu_indices(nm, 1)
+            iu, ju = scoring.triu_pairs(nm)
             phrases = [m["phrase"] for m in ms]
             cor_bk.append(np.fromiter(
                 (min(scoring.edit_distance(phrases[i], phrases[j]),
@@ -189,7 +189,7 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         if nm > 1:
             k = st["cor_off"]
             n_pairs = nm * (nm - 1) // 2
-            iu = np.triu_indices(nm, 1)
+            iu = scoring.triu_pairs(nm)
             dist[iu] = 1.0 - cor_sims[k:k + n_pairs]
         clusters = complete_linkage(dist, 1.0 - cfg.coref_threshold)
         st["clusters"] = clusters

@@ -77,6 +77,10 @@ def span_maxpool_windows(tokpool: np.ndarray, starts: np.ndarray,
     with P = 2^floor(log2 k).  O(T log S) traffic instead of the
     O(sum span lens) gather — identical fp32 results (max is
     order-insensitive), ~10x less memory movement at 500 spans/doc.
+
+    (A reused-scratch variant of the level buffers was A/B-measured at
+    ~3% SLOWER than these small per-call allocations — the cost here is
+    the level-select gathers, not the allocator; don't redo it.)
     """
     T = tokpool.shape[0]
     levels = [tokpool]
@@ -276,6 +280,24 @@ def token_distance(first_end: int, second_start: int) -> int:
     first mention's LAST token index, i.e. first.end - 1, so two
     adjacent mentions are at distance 1, not 0)."""
     return max(0, second_start - first_end + 1)
+
+
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+_TRIU_CACHE_MAX = 4096
+
+
+def triu_pairs(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """np.triu_indices(n, 1), memoized per n.  Mention/entity counts
+    repeat heavily across a corpus batch, and triu_indices rebuilds a
+    boolean mask + nonzero scan per call — measurable in the per-doc
+    coref/cluster assembly loops.  Returned arrays are shared: callers
+    must treat them as read-only (they all do — pure gathers)."""
+    hit = _TRIU_CACHE.get(n)
+    if hit is None:
+        hit = np.triu_indices(n, 1)
+        if len(_TRIU_CACHE) < _TRIU_CACHE_MAX:
+            _TRIU_CACHE[n] = hit
+    return hit
 
 
 _ED_CACHE: dict[tuple[str, str], int] = {}
