@@ -44,7 +44,7 @@ def piece_id(piece: str, cfg: PipelineConfig = DEFAULT) -> int:
     )
 
 
-_TOK_CACHE: dict[tuple[str | None, str], list[int]] = {}
+_TOK_CACHES: dict[str | None, dict[str, list[int]]] = {}
 _TOK_CACHE_MAX = 1 << 18
 
 
@@ -58,10 +58,15 @@ def encode_token(token: str, cfg: PipelineConfig = DEFAULT) -> list[int]:
     path; otherwise the crc32 chunk surrogate.  Either way the offset
     map downstream is identical in shape.
 
-    Memoized per process keyed by (vocab, token) — web-corpus token
-    distributions are Zipfian, so the hit rate is high."""
-    key = (cfg.wordpiece_vocab, token)
-    hit = _TOK_CACHE.get(key)
+    Memoized per process, one dict per vocab keyed by the bare token
+    string (str hashes are cached by CPython; a (vocab, token) tuple
+    key allocated + hashed a fresh tuple per token in the hot loop) —
+    web-corpus token distributions are Zipfian, so the hit rate is
+    high."""
+    cache = _TOK_CACHES.get(cfg.wordpiece_vocab)
+    if cache is None:
+        cache = _TOK_CACHES.setdefault(cfg.wordpiece_vocab, {})
+    hit = cache.get(token)
     if hit is not None:
         return hit
     if cfg.wordpiece_vocab is not None:
@@ -74,8 +79,8 @@ def encode_token(token: str, cfg: PipelineConfig = DEFAULT) -> list[int]:
         k = cfg.subword_chunk
         ids = [piece_id(token[i:i + k], cfg)
                for i in range(0, len(token), k)] or [cfg.unk_id]
-    if len(_TOK_CACHE) < _TOK_CACHE_MAX:
-        _TOK_CACHE[key] = ids
+    if len(cache) < _TOK_CACHE_MAX:
+        cache[token] = ids
     return ids
 
 

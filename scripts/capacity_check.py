@@ -13,7 +13,14 @@ workers here, the operator itself scales; any bench.py --scaling spread
 is host noise, not a serial bottleneck.
 
 Usage: python scripts/capacity_check.py [sf_dir] [batch_docs] [rounds]
+           [--pin]
 Prints one JSON line.
+
+``--pin`` gives each pool a fixed CPU set (pool of w workers ->
+cpus 0..w-1 via sched_setaffinity) so the small-worker legs can't be
+migrated across the whole package by the scheduler mid-measurement —
+the one topology lever this single-socket single-NUMA-node VM offers
+(no cross-node memory to pin against).
 """
 
 from __future__ import annotations
@@ -43,18 +50,22 @@ def main():
     import multiprocessing as mp
 
     import pandas as pd
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 312
-    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    args = [a for a in sys.argv[1:] if a != "--pin"]
+    pin = "--pin" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    batch = int(args[1]) if len(args) > 1 else 312
+    rounds = int(args[2]) if len(args) > 2 else 2
+    configs = (tuple(int(x) for x in args[3].split(","))
+               if len(args) > 3 else (1, 4, 16))
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     keys = [f"{s}/{d}" for s, d in zip(docs["source"], docs["doc_id"])]
     texts = list(docs["text"])
     batches = [(keys[i:i + batch], texts[i:i + batch])
                for i in range(0, len(keys), batch)]
-    configs = (1, 4, 16)
     best: dict[int, float] = {}
     ctx = mp.get_context("spawn")
-    pools = {w: ctx.Pool(w, _warm) for w in configs}   # one pool per w
+    pools = {w: ctx.Pool(w, _warm, ((set(range(w)) if pin else None),))
+             for w in configs}                         # one pool per w
     try:
         for w, pool in pools.items():                  # warm imports
             pool.map(_work, batches[:w])
@@ -71,20 +82,24 @@ def main():
     finally:
         for pool in pools.values():
             pool.terminate()
+    lo, hi = configs[-2], configs[-1]
     out = {
         "metric": "extract_capacity_docs_per_sec",
+        "pinned": pin,
         "batch_docs": batch,
         "per_workers": {str(w): round(best[w], 1) for w in configs},
         "per_core": {str(w): round(best[w] / w, 1) for w in configs},
-        "eff_4_to_16": round((best[16] / 16) / (best[4] / 4), 4),
+        f"eff_{lo}_to_{hi}": round((best[hi] / hi) / (best[lo] / lo), 4),
     }
     print(json.dumps(out))
 
 
-def _warm():
+def _warm(cpus=None):
     for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
                "MKL_NUM_THREADS"):
         os.environ[_v] = "1"
+    if cpus:
+        os.sched_setaffinity(0, cpus)
 
 
 if __name__ == "__main__":
