@@ -155,6 +155,15 @@ def _extract_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
                        "phrase": " ".join(tok.phrases[s:e]),
                        "score": float(probs[i])})
         st["mentions"] = ms
+        # parallel column arrays for the relations stage (gathered once
+        # here instead of np.fromiter over the dicts per doc there);
+        # zero-span docs never set sub_s/sub_e (kept is empty then)
+        z = np.zeros(0, dtype=np.int64)
+        st["m_start"] = st["starts"][kept]
+        st["m_end"] = st["ends"][kept]
+        st["m_ss"] = st.get("sub_s", z)[kept]
+        st["m_se"] = st.get("sub_e", z)[kept]
+        st["m_sent"] = st["sent_idx"][kept]
         st["mrepr"] = (all_reprs[off:off + ns][kept]
                        if len(kept) else np.zeros((0, d), dtype=np.float32))
         # J1/J2: upper-triangle coref pairs — vectorized gathers; only
@@ -263,13 +272,8 @@ def _relations_multi_instance(docs: list, all_ent: np.ndarray,
         ne = len(clusters)
         if ne < 2:
             continue
-        ms = st["mentions"]
-        m_start = np.fromiter((m["start"] for m in ms), np.int64, len(ms))
-        m_end = np.fromiter((m["end"] for m in ms), np.int64, len(ms))
-        m_ss = np.fromiter((m["sub_start"] for m in ms), np.int64, len(ms))
-        m_se = np.fromiter((m["sub_end"] for m in ms), np.int64, len(ms))
-        m_sent = np.fromiter((m["sent_idx"] for m in ms), np.int64,
-                             len(ms))
+        m_start, m_end = st["m_start"], st["m_end"]
+        m_ss, m_se, m_sent = st["m_ss"], st["m_se"], st["m_sent"]
         carr = [np.asarray(c, dtype=np.int64) for c in clusters]
         # ordered entity pairs (a != b), row-major, budget-capped —
         # identical to the reference's nested loop with decrementing
