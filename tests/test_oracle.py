@@ -67,3 +67,23 @@ def test_rows_only_smoke(spark, sf001, name):
     df = ALL[name](spark, sf001)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_golden_signature_selects_right_corpus():
+    """The kg_* golden oracles pick their generation by corpus content
+    signature; each sf dir must select exactly its own golden rows
+    (sf0.001 and sf0.01 both have 500 docs — counts cannot
+    discriminate, the signature must)."""
+    from jerex_spark.operators.kg import QUERIES
+    sql = dict(QUERIES)["kg_doc_stats"][1]
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'/root/testdata/{sf}/documents.parquet'")
+        got = con.execute(sql).fetchall()
+        want = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet("
+            f"'/root/repo/golden/{sf}/golden_doc_stats.parquet')"
+        ).fetchone()[0]
+        assert len(got) == want, (sf, len(got), want)
+        con.close()
