@@ -341,19 +341,32 @@ def _fit_kmeans_np(X, k: int, seed: int = 42,
 
 
 def _cell_assign_col(centers) -> "F.Column":
-    """argmin-distance cell id as ONE Catalyst expression: per-center
-    squared distance via zip_with/aggregate over an array literal,
-    argmin via least() on (dist, idx) structs (lexicographic struct
-    compare = deterministic lowest-index tie-break).  Whole-stage
-    codegen, no MLlib UDF, no shuffle."""
-    cands = []
-    for i, c in enumerate(centers):
-        lit = "array(" + ", ".join(f"{float(x)!r}d" for x in c) + ")"
-        dist = F.expr(
-            f"aggregate(zip_with(vec, {lit}, (x, y) -> (x - y) * (x - y)),"
-            f" cast(0.0 as double), (acc, v) -> acc + v)")
-        cands.append(F.struct(dist.alias("d"), F.lit(i).alias("i")))
-    return F.least(*cands)["i"]
+    """argmin-distance cell id as one Arrow-batched numpy argmin
+    (np.argmin = deterministic lowest-index tie-break, matching the
+    torch/least() convention).  The previous all-Catalyst form — one
+    aggregate(zip_with(vec, <64-element literal>)) per centroid inside
+    least() on (dist, idx) structs — was measured at ~20s of
+    analysis/codegen per fresh plan (the same expression-size blowup
+    _band_buckets hit); the matmul form is milliseconds and carries
+    the bounded (k x d) centroid matrix in the UDF closure, so it
+    stays shuffle-free at any corpus size."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Cm = np.asarray(centers, dtype=np.float64)         # (k, d)
+
+    @pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.array(v.tolist(), dtype=np.float64)     # (rows, d)
+        # direct (x - c)^2 form, same op order as _fit_kmeans_np's
+        # assignment step; Arrow batches bound the (rows, k, d) temp
+        d2 = ((X[:, None, :] - Cm[None]) ** 2).sum(-1)
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return _cell(F.col("vec"))
 
 
 def ivf_topk(spark, sf_dir, top_k: int = TOP_K,
