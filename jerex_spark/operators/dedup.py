@@ -291,7 +291,9 @@ def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
     cosine once per unique pair.  Candidates are O(bucket collisions),
     never O(n^2); high-cosine pairs collide in some band with high
     probability (recall vs the exact baseline pinned >= 0.9 in
-    tests/test_similarity.py).  Approximate -> rows-only check.
+    tests/test_similarity.py).  Approximate by construction but
+    deterministic at a fixed corpus -> oracle-checked against frozen
+    golden rows (scripts/golden_ann.py).
 
     (n_bands, band_bits) default to similarity.lsh_schedule: bits grow
     with the corpus so bucket sizes stay ~constant, bands grow so pairs
@@ -379,11 +381,18 @@ def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
             .select("id_a", "id_b", F.round("cos6", 4).alias("cos")))
 
 
+from .golden import golden_emb_sql as _golden_emb_sql
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_lsh_verified": (dedup_lsh_verified, DEDUP_VERIFIED_SQL),
     "embdup_cosine_exact": (embdup_cosine_exact, EMBDUP_EXACT_SQL),
-    "embdup_cosine_lsh": (embdup_cosine_lsh, None),
+    # approximate by construction but deterministic at a fixed corpus:
+    # oracle = frozen golden rows from the independent numpy
+    # implementation (scripts/golden_ann.py)
+    "embdup_cosine_lsh": (embdup_cosine_lsh,
+                          _golden_emb_sql("embdup", ["id_a", "id_b",
+                                                     "cos"])),
 }

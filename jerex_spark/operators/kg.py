@@ -15,33 +15,15 @@ tests/test_parity.py::test_scores_match (1e-4) instead.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, GLOBAL
 from ..pipeline import build_graph, flagship_triples, kg_tables, \
     load_documents
-
-_GOLDEN_GLOB = os.path.abspath(os.path.join(
-    os.path.dirname(__file__), "..", "..", "golden"))
-
-
-def _golden_sql(table: str, cols: list[str]) -> str:
-    """Oracle over the committed golden parquet: pick the generation
-    whose corpus signature (md5 over sorted doc_key:text-md5 pairs —
-    the exact expression scripts/make_golden.py stamps) matches the
-    ``documents`` view under test."""
-    sel = ", ".join(f"g.{c}" for c in cols)
-    return f"""
-WITH sig AS (
-  SELECT md5(string_agg(source || '/' || doc_id || ':' || md5(text),
-             ',' ORDER BY source || '/' || doc_id)) AS s
-  FROM documents)
-SELECT {sel}
-FROM read_parquet('{_GOLDEN_GLOB}/*/golden_{table}.parquet') g
-JOIN sig ON g.corpus_sig = sig.s
-"""
+# corpus-signature expression + SQL builder live in golden.py, shared
+# with scripts/make_golden.py so the freeze side and the check side
+# can never drift apart
+from .golden import golden_doc_sql as _golden_sql
 
 
 def _triples_identity(t):

@@ -247,10 +247,12 @@ def lsh_topk(spark, sf_dir, top_k: int = TOP_K,
     independent ``band_bits``-bit codes, equi-join queries to vectors on
     (band, bucket), exact cosine only within shared buckets, window
     top-k.  The join is the standard LSH scale shape — candidates are
-    O(bucket collisions), never O(n*m).  Approximate -> rows-only
-    check; recall@5 = 1.0 vs brute force at the default operating
-    point, pinned >= 0.9 in tests/test_similarity.py (see the
-    bands-x-bits table above for the tradeoff)."""
+    O(bucket collisions), never O(n*m).  Approximate by construction,
+    but deterministic at a fixed corpus (md5-derived planes) ->
+    oracle-checked against frozen golden rows from an independent
+    numpy implementation (scripts/golden_ann.py); recall@5 = 1.0 vs
+    brute force at the default operating point, pinned >= 0.9 in
+    tests/test_similarity.py (see the bands-x-bits table above)."""
     from pyspark.sql.window import Window
 
     from ..caching import persist_tracked
@@ -382,9 +384,13 @@ def ivf_topk(spark, sf_dir, top_k: int = TOP_K,
     centroids converge on a bounded sample at ANY corpus size, so the
     driver memory is constant; v1's full-table MLlib fit ran 20
     iterations x full scans and dominated the bench suite.  Cell
-    assignment is a pure Catalyst argmin expression (codegen, no
-    Python).  Approximate by construction -> rows-only check; recall vs
-    brute force is asserted in tests/test_similarity.py."""
+    assignment is an Arrow-batched numpy argmin (_cell_assign_col —
+    the earlier all-Catalyst least()-struct form cost ~20s of
+    analysis/codegen per fresh plan).  Approximate by construction,
+    but deterministic at a fixed corpus (pinned sample order + k-means
+    seed) -> oracle-checked against frozen golden rows from an
+    independent numpy implementation (scripts/golden_ann.py); recall
+    vs brute force is asserted in tests/test_similarity.py."""
     from pyspark.sql.window import Window
 
     from ..caching import persist_tracked
@@ -437,9 +443,17 @@ def ivf_topk(spark, sf_dir, top_k: int = TOP_K,
                     F.round("cos6", 4).alias("cos"), "rank"))
 
 
+from .golden import golden_emb_sql as _golden_emb_sql
+
+_ANN_COLS = ["query_id", "neighbor_id", "cos", "rank"]
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "lsh_bucket_ann": (lsh_bucket_ann, LSH_BUCKET_SQL),
-    "lsh_topk": (lsh_topk, None),   # approximate by construction
-    "ivf_topk": (ivf_topk, None),   # approximate by construction
+    # approximate by construction but deterministic at a fixed corpus:
+    # oracle = frozen golden rows from the independent numpy
+    # implementation (scripts/golden_ann.py), selected by the
+    # embeddings-table content signature
+    "lsh_topk": (lsh_topk, _golden_emb_sql("lsh_topk", _ANN_COLS)),
+    "ivf_topk": (ivf_topk, _golden_emb_sql("ivf_topk", _ANN_COLS)),
 }

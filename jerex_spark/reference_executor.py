@@ -44,6 +44,17 @@ class DocResult:
     spans_capped: bool = False
     mentions_capped: bool = False
     pairs_capped: bool = False
+    # per-category smallest distance of any score from the decision
+    # boundary it was compared against: mention/coref/rel thresholds,
+    # entity-type argmax top-2 logit gap, mention-cap-boundary score
+    # gap.  The golden-oracle freezer (scripts/make_golden.py) asserts
+    # each exceeds the measured cross-engine drift for that score
+    # family, so a corpus that could flip a frozen identity row under
+    # batched-vs-per-doc BLAS last-ulp differences is rejected at
+    # generation time instead of committed as flaky.
+    margins: dict = field(default_factory=lambda: {
+        "mention": float("inf"), "coref": float("inf"),
+        "enttype": float("inf"), "rel": float("inf")})
 
 
 def _complete_linkage_ref(dist: np.ndarray, threshold: float) -> list[list[int]]:
@@ -119,11 +130,21 @@ def run_document(doc_key: str, text: str,
     logits = scoring.mention_logits(reprs, sizes, w)
     probs = scoring.sigmoid(logits)
 
+    res.margins["mention"] = min(
+        res.margins["mention"],
+        float(np.abs(probs - cfg.mention_threshold).min()))
     kept = [i for i in range(len(spans))
             if probs[i] >= cfg.mention_threshold]
     res.mentions_capped = len(kept) > cfg.max_mentions_per_doc
     # cap, keeping highest scores (deterministic tie-break on span)
     kept.sort(key=lambda i: (-float(probs[i]), spans[i][0], spans[i][1]))
+    if res.mentions_capped:
+        # score gap across the truncation boundary: near-equal scores
+        # there could reorder (and so swap the kept set) under drift
+        res.margins["mention"] = min(
+            res.margins["mention"],
+            abs(float(probs[kept[cfg.max_mentions_per_doc - 1]])
+                - float(probs[kept[cfg.max_mentions_per_doc]])))
     kept = kept[: cfg.max_mentions_per_doc]
     kept.sort(key=lambda i: (spans[i][0], spans[i][1]))
     if not kept:
@@ -156,6 +177,9 @@ def run_document(doc_key: str, text: str,
         m2 = np.stack([mentions[j]["repr"] for j in j_idx])
         sims = scoring.sigmoid(
             scoring.coref_logits(m1, m2, np.array(buckets), w))
+        res.margins["coref"] = min(
+            res.margins["coref"],
+            float(np.abs(sims - cfg.coref_threshold).min()))
         for k in range(len(i_idx)):
             dist[i_idx[k], j_idx[k]] = 1.0 - sims[k]
     clusters = _complete_linkage_ref(dist, 1.0 - cfg.coref_threshold)
@@ -166,6 +190,12 @@ def run_document(doc_key: str, text: str,
         for c in clusters])
     et_logits = scoring.entity_type_logits(ent_reprs, w)
     et_probs = scoring.softmax(et_logits, axis=1)
+    if et_logits.shape[1] > 1:
+        # argmax top-2 gap: the entity TYPE is part of the triple
+        # identity, so a near-tie could flip it under drift
+        srt = np.sort(et_logits, axis=1)
+        res.margins["enttype"] = min(
+            res.margins["enttype"], float((srt[:, -1] - srt[:, -2]).min()))
     for e_i, c in enumerate(clusters):
         t = int(np.argmax(et_logits[e_i]))   # lowest index on ties
         res.entities.append({
@@ -202,6 +232,9 @@ def run_document(doc_key: str, text: str,
                     types[a:a + 1], types[b:b + 1], w)
                 rp = scoring.sigmoid(
                     scoring.relation_logits_global(pr, w))[0]
+                res.margins["rel"] = min(
+                    res.margins["rel"],
+                    float(np.abs(rp - cfg.rel_threshold).min()))
                 for r_i, p in enumerate(rp):
                     if p >= cfg.rel_threshold:
                         res.triples.append({
@@ -252,6 +285,9 @@ def run_document(doc_key: str, text: str,
             rl = scoring.relation_logits(
                 pooled, types[a:a + 1], types[b:b + 1], w)
             rp = scoring.sigmoid(rl)[0]
+            res.margins["rel"] = min(
+                res.margins["rel"],
+                float(np.abs(rp - cfg.rel_threshold).min()))
             for r_i, p in enumerate(rp):
                 if p >= cfg.rel_threshold:
                     res.triples.append({

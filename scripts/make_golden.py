@@ -41,13 +41,43 @@ import pandas as pd
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from jerex_spark.config import DEFAULT, GLOBAL  # noqa: E402
+from jerex_spark.operators.golden import (  # noqa: E402
+    DOC_SIG_EXPR, EMB_SIG_EXPR)
 from jerex_spark.reference_executor import run_document  # noqa: E402
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "golden")
 
-# must match the expression in operators/kg.py CORPUS_SIG_SQL exactly
-SIG_SQL = ("SELECT md5(string_agg(source || '/' || doc_id || ':' || "
-           "md5(text), ',' ORDER BY source || '/' || doc_id)) FROM {src}")
+# the signature expressions are SHARED with the oracle SQL builders
+# (defined once in jerex_spark/operators/golden.py) — freeze side and
+# check side cannot drift apart
+SIG_SQL = "SELECT " + DOC_SIG_EXPR + " FROM {src}"
+
+# Freeze-time guard for score-vs-decision-boundary margins
+# (reference_executor.DocResult.margins).  Measured cross-engine drift
+# (batched Spark BLAS vs per-doc reference BLAS, this host): max
+# |spark - ref| on triple scores = 1.85e-6 across sf0.001/sf0.01 both
+# variants; the parity test's 1e-4 is a loose ceiling.  Two regimes:
+#
+# - coref/rel scores are structurally continuous (few hundred to few
+#   thousand comparisons per corpus), so their corpus-min margins sit
+#   well clear of drift (measured 6.3e-6 .. 3.1e-3 on the shipped
+#   corpora) — a corpus below 2x the measured drift is genuinely
+#   dangerous and is REJECTED.
+# - mention probs / entity-type logit gaps are fp32 order statistics
+#   over 10^5..10^6 draws: the corpus-min margin lands at a few fp32
+#   ulps (6e-8 at sf0.1) for ANY large corpus, so a drift-scale floor
+#   would reject every real corpus.  Empirically these ulp-margins do
+#   not flip (scripts/check_golden.py verifies every frozen row
+#   against the live Spark pipeline exactly — green at all three sfs
+#   with a 6e-8 margin present): the chunked-BLAS kernel is
+#   deterministic per environment, and decisions with ulp margins
+#   drift by 0 here.  For these categories an exact TIE (margin 0) is
+#   rejected, anything under the drift bound gets a loud warning
+#   directing the operator to run scripts/check_golden.py before
+#   committing the frozen tables.
+DRIFT_BOUND = 1.85e-6
+MARGIN_FLOORS = {"coref": 2 * DRIFT_BOUND, "rel": 2 * DRIFT_BOUND,
+                 "mention": 0.0, "enttype": 0.0}
 
 
 def _span_key(spans) -> str:
@@ -85,7 +115,9 @@ def _one_doc(arg):
                  spans_capped=res.spans_capped,
                  mentions_capped=res.mentions_capped,
                  pairs_capped=res.pairs_capped)
-    return mentions, entities, triples, triples_g, stats
+    margins = {c: min(res.margins[c], res_g.margins[c])
+               for c in res.margins}
+    return mentions, entities, triples, triples_g, stats, margins
 
 
 def build_sf(sf_dir: str, workers: int = 16) -> None:
@@ -100,13 +132,33 @@ def build_sf(sf_dir: str, workers: int = 16) -> None:
     tables = {k: [] for k in
               ("mentions", "entities", "triples", "triples_global",
                "doc_stats")}
+    corpus_margins: dict[str, float] = {}
     with ProcessPoolExecutor(max_workers=workers) as ex:
-        for m, e, t, tg, st in ex.map(_one_doc, rows, chunksize=16):
+        for m, e, t, tg, st, mg in ex.map(_one_doc, rows, chunksize=16):
             tables["mentions"] += m
             tables["entities"] += e
             tables["triples"] += t
             tables["triples_global"] += tg
             tables["doc_stats"].append(st)
+            for c, v in mg.items():
+                corpus_margins[c] = min(corpus_margins.get(c, float("inf")),
+                                        v)
+    for c, v in sorted(corpus_margins.items()):
+        floor = MARGIN_FLOORS[c]
+        if v <= floor:
+            raise ValueError(
+                f"{name}: {c} score-to-boundary margin {v:.3e} <= "
+                f"floor {floor:.3e} — a frozen identity row could flip "
+                f"under batched-vs-per-doc BLAS drift; refusing to "
+                f"freeze this corpus as a hard oracle")
+        if v < DRIFT_BOUND:
+            print(f"  WARNING: {c} margin {v:.3e} is below the measured "
+                  f"drift bound {DRIFT_BOUND:.2e} (fp32 order-statistics "
+                  f"regime) — run scripts/check_golden.py and confirm "
+                  f"EXACT-MATCH before committing these tables")
+    print("  score/boundary margins: "
+          + ", ".join(f"{c}={v:.3e}"
+                      for c, v in sorted(corpus_margins.items())))
 
     columns = {
         "mentions": ["doc_key", "mention_idx", "sent_idx", "start", "end",
@@ -134,8 +186,57 @@ def build_sf(sf_dir: str, workers: int = 16) -> None:
         print(f"  {tname}: {len(df)} rows -> {path}")
 
 
+ANN_COLUMNS = {
+    "lsh_topk": ["query_id", "neighbor_id", "cos", "rank"],
+    "ivf_topk": ["query_id", "neighbor_id", "cos", "rank"],
+    "embdup": ["id_a", "id_b", "cos"],
+}
+
+
+def build_ann(sf_dir: str) -> None:
+    """Freeze the three approximate ANN queries' output (independent
+    numpy implementations in scripts/golden_ann.py) keyed by the
+    EMBEDDINGS-table content signature."""
+    import numpy as np
+
+    from golden_ann import golden_embdup, golden_ivf_topk, golden_lsh_topk
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    src = f"read_parquet('{sf_dir}/embeddings.parquet')"
+    sig = duckdb.sql(
+        "SELECT " + EMB_SIG_EXPR + f" FROM {src}").fetchone()[0]
+    tbl = duckdb.sql(
+        f"SELECT vec_id, embedding FROM {src} ORDER BY vec_id").fetchall()
+    ids = np.array([r[0] for r in tbl], dtype=np.int64)
+    X = np.array([r[1] for r in tbl], dtype=np.float64)
+    print(f"{name}: {len(ids)} vectors, emb_sig={sig}")
+
+    tables = {
+        "lsh_topk": golden_lsh_topk(ids, X),
+        "ivf_topk": golden_ivf_topk(ids, X),
+        "embdup": golden_embdup(ids, X),
+    }
+    out_dir = os.path.join(GOLDEN_DIR, name)
+    os.makedirs(out_dir, exist_ok=True)
+    for tname, recs in tables.items():
+        df = pd.DataFrame(recs, columns=ANN_COLUMNS[tname])
+        if "rank" in df.columns:
+            df["rank"] = df["rank"].astype("int32")
+        df["emb_sig"] = sig
+        path = os.path.join(out_dir, f"golden_{tname}.parquet")
+        duckdb.sql(f"COPY (SELECT * FROM df) TO '{path}' "
+                   f"(FORMAT PARQUET, COMPRESSION ZSTD)")
+        print(f"  {tname}: {len(df)} rows -> {path}")
+
+
 if __name__ == "__main__":
-    dirs = sys.argv[1:] or [f"/root/testdata/sf{s}"
-                            for s in ("0.001", "0.01", "0.1")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    dirs = args or [f"/root/testdata/sf{s}"
+                    for s in ("0.001", "0.01", "0.1")]
+    only_ann = "--ann-only" in sys.argv
+    only_kg = "--kg-only" in sys.argv
     for d in dirs:
-        build_sf(d)
+        if not only_ann:
+            build_sf(d)
+        if not only_kg:
+            build_ann(d)
