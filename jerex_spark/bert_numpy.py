@@ -116,9 +116,18 @@ def bert_encode(ids: np.ndarray, bw: BertWeights) -> np.ndarray:
     d = bw.tok.shape[1]
     if T == 0:
         return np.zeros((0, d), dtype=np.float32)
+    V = bw.tok.shape[0]
+    if ids.max() >= V or ids.min() < 0:
+        # a silent wrap here would feed a vocab-mismatched checkpoint
+        # arbitrary embeddings — fail loudly like every other shape
+        # mismatch in this module
+        raise ValueError(
+            f"sub-word id {int(ids.max() if ids.max() >= V else ids.min())}"
+            f" outside the checkpoint's vocab [0, {V}) — the tokenizer's "
+            f"vocab does not match this encoder; set cfg.wordpiece_vocab "
+            f"to the checkpoint's vocab.txt (and cfg.vocab_size to {V})")
     pos = np.minimum(np.arange(T), bw.pos.shape[0] - 1)
-    x = (bw.tok[ids % bw.tok.shape[0]] + bw.pos[pos] + bw.typ[0]
-         ).astype(np.float32)
+    x = (bw.tok[ids] + bw.pos[pos] + bw.typ[0]).astype(np.float32)
     x = layer_norm(x, bw.emb_ln_g, bw.emb_ln_b)
     H = bw.n_heads
     dh = d // H

@@ -111,7 +111,7 @@ class CheckpointedStage:
                     shutil.rmtree(gdir)
                 out.write.mode("overwrite").parquet(gdir)
                 written = out.sparkSession.read.parquet(gdir)
-                rows_out = written.count()
+                rows_out, capped = self._written_stats(written)
                 entry = {
                     "stage": self.name, "group": g,
                     "buckets": list(range(g * self.group_size,
@@ -124,7 +124,6 @@ class CheckpointedStage:
                     "finished_at": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 }
-                capped = self._capped_counts(written)
                 if capped is not None:
                     entry["capped"] = capped
                 self._append_manifest(entry)
@@ -154,26 +153,28 @@ class CheckpointedStage:
         return fp
 
     @staticmethod
-    def _capped_counts(df: DataFrame) -> dict | None:
-        """Per-group cap-truncation counts when the stage output carries
-        the extract's ``truncated`` flag struct (SURVEY.md §7.3 item 4:
-        caps are logged, never silent).  Recording them in the manifest
-        means a 100x run reports how many docs each stage truncated
-        without a separate full scan of the output."""
+    def _written_stats(df: DataFrame) -> tuple[int, dict | None]:
+        """(row count, cap-truncation counts) of a written group in ONE
+        aggregation scan.  Truncation counts are present when the stage
+        output carries the extract's ``truncated`` flag struct
+        (SURVEY.md §7.3 item 4: caps are logged, never silent);
+        folding them into the same agg as the row count means each
+        group's manifest entry costs exactly one pass over the group
+        output — at 100x scale a second per-group scan would double
+        the checkpoint I/O."""
         from pyspark.sql.types import BooleanType, StructType
-        if "truncated" not in df.columns:
-            return None
-        t = df.schema["truncated"].dataType
-        if not isinstance(t, StructType):
-            return None
-        flags = [f.name for f in t.fields
-                 if isinstance(f.dataType, BooleanType)]
-        if not flags:
-            return None
-        row = df.agg(*[
-            F.sum(F.col(f"truncated.{f}").cast("int")).alias(f)
-            for f in flags]).collect()[0]
-        return {f: int(row[f] or 0) for f in flags}
+        flags: list[str] = []
+        if "truncated" in df.columns:
+            t = df.schema["truncated"].dataType
+            if isinstance(t, StructType):
+                flags = [f.name for f in t.fields
+                         if isinstance(f.dataType, BooleanType)]
+        row = df.agg(
+            F.count(F.lit(1)).alias("_rows"),
+            *[F.sum(F.col(f"truncated.{f}").cast("int")).alias(f)
+              for f in flags]).collect()[0]
+        capped = ({f: int(row[f] or 0) for f in flags} if flags else None)
+        return int(row["_rows"]), capped
 
     def is_complete(self, df: DataFrame, key: str = "doc_key") -> bool:
         bucketed = self._bucketed(df, key)

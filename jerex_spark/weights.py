@@ -334,6 +334,19 @@ def load_jerex_state_dict(sd: dict, cfg: PipelineConfig = DEFAULT,
     if bert_keys:
         from .bert_numpy import bert_from_state_dict
         bert_w = bert_from_state_dict(bert_keys, cfg.bert_num_heads)
+        if cfg.wordpiece_vocab is None:
+            # real-encoder fidelity is this path's whole purpose: the
+            # crc32 surrogate tokenizer produces ids that are
+            # MEANINGLESS indexes into a real embedding table (encode
+            # raises outright if they exceed the vocab).  Legitimate
+            # only for synthetic checkpoints in tests.
+            import warnings
+            warnings.warn(
+                "bert.* encoder loaded but cfg.wordpiece_vocab is not "
+                "set: the crc32 surrogate tokenizer's ids do not index "
+                "this checkpoint's embedding table meaningfully — set "
+                "cfg.wordpiece_vocab to the checkpoint's vocab.txt for "
+                "faithful output", stacklevel=2)
         if bert_w.tok.shape[1] != cfg.hidden_size:
             raise ValueError(
                 f"bert hidden size {bert_w.tok.shape[1]} != "

@@ -456,8 +456,16 @@ def test_bert_checkpoint_full_pipeline_parity(spark, tmp_path):
     from jerex_spark.extract import extract_graph
     from jerex_spark.reference_executor import run_document
     cfg0 = dataclasses.replace(DEFAULT, bert_num_heads=4)
-    sd = {**_mi_state_dict(mention_bias=2.0, coref_bias=1.0),
-          **_bert_state_dict()}
+    # encoder vocab must cover the surrogate tokenizer's id space:
+    # bert_encode raises on out-of-vocab ids rather than wrapping (a
+    # wrap would feed a vocab-mismatched checkpoint arbitrary
+    # embeddings), so a checkpoint paired with the crc32 surrogate
+    # needs vocab >= cfg.vocab_size
+    # bias calibrated for THIS vocab's random draws: 6.0 yields ~60
+    # mentions / ~6 triples on the 10-page fixture (5.0 -> 2 triples,
+    # <=4.0 -> none)
+    sd = {**_mi_state_dict(mention_bias=6.0, coref_bias=1.0),
+          **_bert_state_dict(vocab=cfg0.vocab_size)}
     w, report = load_jerex_state_dict(sd, cfg0)
     assert report["encoder"] == "checkpoint_bert"
     path = str(tmp_path / "full_swap.npz")
@@ -481,3 +489,25 @@ def test_bert_checkpoint_full_pipeline_parity(spark, tmp_path):
     assert n_mentions > 0, "bert-encoded pipeline produced no mentions"
     assert n_sp_mentions == n_mentions
     assert got == want
+
+
+def test_bert_oov_ids_raise():
+    """A sub-word id outside the checkpoint vocab must raise with the
+    vocab-mismatch message, never wrap (a silent modulo would feed a
+    vocab-mismatched checkpoint arbitrary embeddings)."""
+    from jerex_spark.bert_numpy import bert_encode, bert_from_state_dict
+    bw = bert_from_state_dict(_bert_state_dict(), 4)
+    bert_encode(np.array([0, 5, 119]), bw)          # in-vocab: fine
+    with pytest.raises(ValueError, match="outside the checkpoint"):
+        bert_encode(np.array([0, 120]), bw)
+    with pytest.raises(ValueError, match="outside the checkpoint"):
+        bert_encode(np.array([-1, 5]), bw)
+
+
+def test_bert_without_wordpiece_vocab_warns():
+    """Loading a real encoder while the crc32 surrogate tokenizer is
+    active is semantically meaningless — the loader must say so."""
+    sd = {**_mi_state_dict(), **_bert_state_dict(vocab=DEFAULT.vocab_size)}
+    cfg = dataclasses.replace(DEFAULT, bert_num_heads=4)
+    with pytest.warns(UserWarning, match="wordpiece_vocab"):
+        load_jerex_state_dict(sd, cfg)

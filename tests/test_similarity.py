@@ -193,3 +193,48 @@ def test_embdup_lsh_collapses_exact_duplicates(spark, tmp_path):
     # every exact-dup pair must be present (recall 1.0 by construction
     # for identical vectors) and no pair may be invented
     assert approx == exact
+
+
+def test_lsh_schedule_holds_recall_past_band_cap():
+    """Past ~65k rows the recall-pinned band count exceeds MAX_BANDS:
+    the schedule must shorten the codes (warning about bucket growth)
+    rather than silently clamp bands and degrade recall."""
+    import math
+    import warnings
+
+    from jerex_spark.operators.similarity import (DESIGN_RECALL,
+                                                  MAX_BANDS, lsh_schedule)
+    for n in (100_000, 1_000_000, 10_000_000):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            bands, bits = lsh_schedule(n, design_cos=0.4)
+        assert bands <= MAX_BANDS
+        p_bit = 1.0 - math.acos(0.4) / math.pi
+        recall = 1.0 - (1.0 - p_bit ** bits) ** bands
+        assert recall >= DESIGN_RECALL, (n, bands, bits, recall)
+        assert any("bucket rows grow" in str(x.message) for x in w), n
+
+
+def test_lsh_schedule_explicit_bits_warns_achieved_recall():
+    """An explicit band_bits override that cannot reach the design
+    recall within MAX_BANDS must say so, with the achieved estimate."""
+    import pytest
+
+    from jerex_spark.operators.similarity import MAX_BANDS, lsh_schedule
+    with pytest.warns(UserWarning, match="achieved recall"):
+        bands, bits = lsh_schedule(200_000, design_cos=0.4, band_bits=12)
+    assert bands == MAX_BANDS and bits == 12
+
+
+def test_lsh_schedule_small_n_unchanged():
+    """The cap compensation must not perturb the small-n operating
+    points the frozen golden oracles were generated at."""
+    import warnings
+
+    from jerex_spark.operators.similarity import lsh_schedule
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")      # no warnings at small n
+        assert lsh_schedule(500, design_cos=0.4, min_bands=24) == (24, 4)
+        assert lsh_schedule(2000, design_cos=0.4, min_bands=24) == (29, 5)
+        assert lsh_schedule(500, design_cos=0.45, min_bands=16) == (16, 4)
+        assert lsh_schedule(2000, design_cos=0.45, min_bands=16) == (25, 5)
