@@ -62,11 +62,14 @@ def test_oracle_match(spark, ddb, sf001, name):
         + "; ".join(f"spark={a[i]} duck={b[i]}" for i in mism))
 
 
-@pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLE)))
-def test_rows_only_smoke(spark, sf001, name):
-    df = ALL[name](spark, sf001)
-    assert df.columns
-    assert df.count() >= 0
+def test_rows_only_smoke(spark, sf001):
+    """As of round 5 every query carries an oracle (the ANN queries
+    are golden-backed), so the rows-only set is EMPTY; this guard
+    self-activates if a future rows-only query is added."""
+    for name in sorted(set(ALL) - set(ORACLE)):
+        df = ALL[name](spark, sf001)
+        assert df.columns
+        assert df.count() >= 0
 
 
 def test_golden_signature_selects_right_corpus():
