@@ -55,7 +55,13 @@ def run_suite(spark, sf_dir, runs: int = BENCH_RUNS):
     ~2x on ~10s windows (BENCH.md methodology note), so a single cold
     timing conflates plan cost with host noise — min-of-N is the
     standard noise-robust estimator of true cost.  The first (cold)
-    timing is kept alongside for the cache/warm-up delta."""
+    timing is kept alongside for the cache/warm-up delta.
+
+    Measurement note (round 5): ivf_topk's warm runs reuse the cached
+    quantizer centroids (a one-time-per-corpus cost, like codegen), so
+    its best-of-N measures steady-state search cost; the full path
+    including the sample job + k-means fit is what queries_cold
+    reports."""
     from jerex_spark.caching import release_persisted
     from jerex_spark.operators import all_queries
     qs = all_queries()
@@ -198,9 +204,10 @@ def main():
         warm_dir = os.path.join(parent, "sf0.001")
         if not os.path.isdir(warm_dir):
             warm_dir = SF_DIR
+        _qs = _aq()
         t_w = time.time()
         for _name in BENCH_QUERIES:
-            _aq()[_name][0](spark, warm_dir).count()
+            _qs[_name][0](spark, warm_dir).count()
             _release()
         warmup = round(time.time() - t_w, 3)
         t0 = time.time()

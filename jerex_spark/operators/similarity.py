@@ -189,9 +189,11 @@ def lsh_schedule(n_rows: int, design_cos: float,
     auto-derived code length would exceed the cap, so the schedule
     shortens the codes instead (fewer bits -> higher per-band collision
     prob -> fewer bands reach the same recall) and warns about the
-    resulting bucket growth — never a silent recall degradation.  Only
-    an EXPLICIT ``band_bits`` override can pin recall below the design
-    point, and that path warns with the achieved estimate."""
+    resulting bucket growth — never a silent recall degradation.  If
+    the recall still cannot be reached within MAX_BANDS — an explicit
+    ``band_bits`` override, or a design cosine so low (< ~-0.5) that
+    even BAND_BITS-length codes need more than MAX_BANDS bands — the
+    schedule warns with the achieved recall estimate."""
     import math
     import warnings
     derived_bits = None
@@ -212,7 +214,7 @@ def lsh_schedule(n_rows: int, design_cos: float,
         if derived_bits is not None:
             while need(band_bits) > MAX_BANDS and band_bits > BAND_BITS:
                 band_bits -= 1
-            if band_bits < derived_bits:
+            if band_bits < derived_bits and need(band_bits) <= MAX_BANDS:
                 warnings.warn(
                     f"lsh_schedule: recall-pinned band count at "
                     f"{derived_bits} bits exceeds MAX_BANDS={MAX_BANDS}; "
@@ -224,11 +226,14 @@ def lsh_schedule(n_rows: int, design_cos: float,
         if need(band_bits) > MAX_BANDS:
             p_band = max(min(p_bit ** band_bits, 1.0 - 1e-12), 1e-12)
             achieved = 1.0 - (1.0 - p_band) ** MAX_BANDS
+            src = ("explicit" if derived_bits is None
+                   else f"floor ({BAND_BITS}-bit codes still need "
+                        f"{need(band_bits)} bands)")
             warnings.warn(
-                f"lsh_schedule: explicit band_bits={band_bits} needs "
-                f"{need(band_bits)} bands for recall {DESIGN_RECALL} at "
-                f"cos {design_cos} but MAX_BANDS={MAX_BANDS}; achieved "
-                f"recall estimate ~{achieved:.3f}", stacklevel=2)
+                f"lsh_schedule: band_bits={band_bits} ({src}) cannot "
+                f"reach recall {DESIGN_RECALL} at cos {design_cos} "
+                f"within MAX_BANDS={MAX_BANDS}; achieved recall "
+                f"estimate ~{achieved:.3f}", stacklevel=2)
         n_bands = min(MAX_BANDS, max(min_bands, need(band_bits)))
     return n_bands, band_bits
 
@@ -346,15 +351,32 @@ N_PROBE = 10
 KMEANS_SAMPLE_TARGET = 400 * N_CELLS   # training points for the quantizer
 KMEANS_MAX_ITER = 8
 
-# quantizer centroids per (sf_dir, row count): the coarse quantizer is
-# a pure function of the corpus (deterministic hash-sample + pinned
-# seed), so repeat ivf_topk calls in one session — bench loops,
-# notebooks — skip the sample job + fit.  A corpus that CHANGES under
-# the same path with the same row count within one process would hit
-# stale centroids; that also invalidates the frozen golden oracle
-# (content-signature keyed), so regenerate goldens / restart the
-# session when swapping corpora in place.
-_CENTROID_CACHE: dict[tuple[str, int], "np.ndarray"] = {}
+# quantizer centroids per corpus: the coarse quantizer is a pure
+# function of the corpus (deterministic hash-sample + pinned seed), so
+# repeat ivf_topk calls in one session — bench loops, notebooks — skip
+# the sample job + fit.  The key carries a FILE signature (relative
+# path, size, mtime of every file under the embeddings path) alongside
+# (sf_dir, row count), so a corpus rewritten in place invalidates the
+# cache instead of silently serving stale centroids.
+_CENTROID_CACHE: dict[tuple, "np.ndarray"] = {}
+
+
+def _file_sig(path: str) -> tuple:
+    """Cheap content-change signature of a parquet file/directory:
+    sorted (relpath, size, mtime_ns) of every file under it.  Pure
+    driver-side stat calls — no Spark job."""
+    import os
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            fp = os.path.join(root, f)
+            st = os.stat(fp)
+            out.append((os.path.relpath(fp, path), st.st_size,
+                        st.st_mtime_ns))
+    return tuple(sorted(out))
 
 
 def _fit_kmeans_np(X, k: int, seed: int = 42,
@@ -450,8 +472,10 @@ def ivf_topk(spark, sf_dir, top_k: int = TOP_K,
     # no extra count() action to size a fraction (the v2 per-mille
     # scheme needed one, and its 1/1000 floor grew the sample ~n/1000).
     import numpy as np
-    ckey = (sf_dir, emb.count())   # the count also materializes the
-    C = _CENTROID_CACHE.get(ckey)  # persisted table we join below
+    # the count also materializes the persisted table we join below
+    ckey = (sf_dir, emb.count(),
+            _file_sig(f"{sf_dir}/embeddings.parquet"))
+    C = _CENTROID_CACHE.get(ckey)
     if C is None:
         sample = np.asarray(
             emb.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))

@@ -21,14 +21,11 @@ import duckdb
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-GOLDEN_QUERIES = {
-    # name -> table the oracle view needs
-    "kg_mentions": "documents", "kg_entities": "documents",
-    "kg_triples": "documents", "kg_triples_global": "documents",
-    "kg_doc_stats": "documents",
-    "lsh_topk": "embeddings", "ivf_topk": "embeddings",
-    "embdup_cosine_lsh": "embeddings",
-}
+# every golden-backed query (both views are registered per sf dir)
+GOLDEN_QUERIES = (
+    "kg_mentions", "kg_entities", "kg_triples", "kg_triples_global",
+    "kg_doc_stats", "lsh_topk", "ivf_topk", "embdup_cosine_lsh",
+)
 
 
 def check(sf_dirs: list[str]) -> bool:

@@ -111,10 +111,12 @@ def _assert_round_margin(raw: float, what: str) -> None:
     decimal HALF_UP boundary — the one place last-ulp reassociation
     drift could flip the frozen value."""
     # abs() first: HALF_UP rounds away from zero, so the boundary for a
-    # negative cosine sits at -x.5e-6 — symmetric in |value|
+    # negative cosine sits at -x.5e-6 — symmetric in |value|.  A value
+    # exactly ON the boundary is rejected too: it is the single most
+    # drift-sensitive input (one ulp down flips the rounded value), and
+    # the guard exists precisely for cross-build last-ulp drift.
     rem = (abs(Decimal(repr(raw))) * 10 ** 6) % 1
-    if abs(rem - Decimal("0.5")) < ROUND_MARGIN \
-            and abs(rem - Decimal("0.5")) != 0:
+    if abs(rem - Decimal("0.5")) < ROUND_MARGIN:
         raise ValueError(
             f"{what}: raw cosine {raw!r} is within {ROUND_MARGIN}e-6 of "
             f"a 6-decimal rounding boundary — freezing this corpus "

@@ -114,8 +114,10 @@ def test_corpus_rejected_near_rounding_boundary():
     from golden_ann import _assert_round_margin
     with pytest.raises(ValueError, match="rounding boundary"):
         _assert_round_margin(0.4512345000000002, "t")
-    # exactly on the boundary is deterministic -> accepted
-    _assert_round_margin(0.4512345, "t")
+    # exactly ON the boundary is the most drift-sensitive input of all
+    # (one ulp down flips the rounded value) -> rejected
+    with pytest.raises(ValueError, match="rounding boundary"):
+        _assert_round_margin(0.4512345, "t")
     # far from the boundary -> accepted
     _assert_round_margin(0.45123, "t")
     with pytest.raises(ValueError, match="rounding boundary"):
