@@ -1,0 +1,157 @@
+"""Distributed connected components + duplicate-cluster collapse.
+
+The dedup family (dedup.py) emits candidate/verified PAIRS; a corpus
+pipeline needs CLUSTERS: transitive closure of the pair graph, one
+canonical representative per cluster, and a keep-list that drops the
+rest.  Pair output alone under-deduplicates — A~B and B~C must retire
+both B and C, even when A~C was never emitted.
+
+``connected_components`` is the alternating large-star / small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014): per round, every node connects its larger
+neighbors (large-star) or its smaller-and-self neighbors (small-star)
+to the minimum of its neighborhood.  Each half-round is one groupBy
+(min per node) plus one equi-join — pure Catalyst, partial-aggregable,
+AQE-friendly — and the edge set never grows beyond the symmetrized
+input.  The alternation converges in O(log n) rounds on any graph
+(paper, Thm 1 — NOT diameter-bound like naive label propagation, which
+needs O(diameter) rounds and dies on chain-shaped dup clusters).
+Iteration happens on the driver but every step is distributed; per
+round the frontier is ``localCheckpoint``-ed to truncate lineage (at
+cluster scale with executor churn, swap for a reliable
+``checkpoint()`` dir — same call shape).
+
+Reference semantics (transitive closure of the duplicate relation) per
+jerex's entity-cluster identity treatment: clusters are sets, the
+representative is the minimum member (reference conversion.py:4-10
+uses order-insensitive identity sets; min-member is the deterministic
+pick).  The DuckDB oracle computes the same closure with a recursive
+CTE — exact integer semantics on both engines, no fp anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import MINHASH_SQL, _docs, minhash_lsh_pairs
+
+# O(log n) convergence: 64 rounds covers any conceivable corpus
+# (2^64 nodes); hitting the cap means a bug, not a big input — raise.
+MAX_CC_ROUNDS = 64
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) undirected -> for each node, connect strictly larger
+    neighbors to min(neighborhood incl. self)."""
+    sym = edges.union(edges.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    mins = (sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m")))
+    return (sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large->small, then connect each node's smaller
+    neighbors AND itself to the minimum neighbor."""
+    oriented = edges.select(F.greatest("u", "v").alias("u"),
+                            F.least("u", "v").alias("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    leaves = (oriented.join(mins, "u")
+              .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    selfs = mins.select("u", F.col("m").alias("v"))
+    return (leaves.union(selfs)
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def connected_components(edges: DataFrame, src: str, dst: str,
+                         max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+    """Exact connected components of the undirected graph given as an
+    edge list.  Returns (``id``, ``component``) for every node that
+    appears in ``edges`` — ``component`` is the minimum node id of the
+    component (callers left-join and coalesce to label isolated rows).
+
+    Ids must be orderable and non-null; self-loops are ignored.
+    Convergence is checked EXACTLY (set containment + count, not a
+    hash), and exceeding ``max_rounds`` raises — a wrong answer is
+    never returned silently."""
+    cur = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct()
+           .localCheckpoint())
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        # exact stability: |nxt|=|cur| and nxt ⊆ cur (set-distinct both
+        # ⟹ equality).  Counts first: a cheap partial-agg over the
+        # checkpointed frontier short-circuits the exceptAll
+        # anti-join shuffle on every non-final round.
+        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_rounds} "
+            f"large/small-star rounds — the alternation converges in "
+            f"O(log n), so this indicates a bug, not a large input")
+    # stable state = star edges (leaf -> root) + (root's own min edge
+    # already collapsed); groupBy(min) guards the theoretical case of a
+    # node carrying two star edges mid-collapse
+    comp = cur.groupBy("u").agg(F.min("v").alias("component"))
+    roots = (cur.select(F.col("v").alias("u")).distinct()
+             .join(comp, "u", "left_anti")
+             .select("u", F.col("u").alias("component")))
+    return (comp.union(roots)
+            .select(F.col("u").alias("id"), "component"))
+
+
+def dedup_components(spark, sf_dir) -> DataFrame:
+    """Duplicate CLUSTERS over the documents table: MinHash-LSH pair
+    candidates -> transitive closure -> per-doc cluster label, cluster
+    size, and the keep/drop verdict (canonical = min doc_id).  The
+    downstream 100 TB flow filters ``is_canonical`` to materialize the
+    deduplicated corpus."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    labeled = (_docs(spark, sf_dir).select("doc_id")
+               .join(comp, F.col("doc_id") == F.col("id"), "left")
+               .select("doc_id",
+                       F.coalesce("component", "doc_id")
+                       .alias("component_id")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("component_id")
+    return labeled.select(
+        "doc_id", "component_id",
+        F.count("*").over(w).alias("component_size"),
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"))
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_SQL}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+comp AS (SELECT id AS doc_id, MIN(r) AS component_id
+         FROM reach GROUP BY id),
+labeled AS (
+    SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+    FROM documents d LEFT JOIN comp c USING (doc_id))
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS component_size,
+       doc_id = component_id AS is_canonical
+FROM labeled
+"""
+
+
+QUERIES = {
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
+}

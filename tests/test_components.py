@@ -1,0 +1,88 @@
+"""Connected components (operators/components.py): exact equality
+with a plain union-find reference, convergence behavior on the
+chain-shaped worst case, and the dedup_components keep-list contract.
+"""
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from jerex_spark.operators.components import (
+    connected_components, dedup_components)
+
+
+def _uf_components(edges):
+    """Union-find reference: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _spark_components(spark, edges):
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    out = connected_components(df, "a", "b")
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edge_lists)
+def test_matches_union_find(spark, edges):
+    got = _spark_components(spark, edges)
+    want = _uf_components([e for e in edges if e[0] != e[1]])
+    assert got == want
+
+
+def test_chain_converges(spark):
+    """A 64-node chain is label propagation's worst case (diameter 63
+    rounds); the star alternation must collapse it in O(log n)."""
+    edges = [(i, i + 1) for i in range(63)]
+    got = _spark_components(spark, edges)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_two_components_and_duplicates(spark):
+    edges = [(5, 3), (3, 5), (3, 9), (20, 21), (7, 7)]
+    got = _spark_components(spark, edges)
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_round_cap_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(20)],
+                               "a: long, b: long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, "a", "b", max_rounds=0)
+
+
+def test_dedup_components_keep_list(spark, sf001):
+    """Every doc labeled; canonical = min doc_id of its cluster;
+    keep-list size = number of distinct clusters."""
+    rows = dedup_components(spark, sf001).collect()
+    assert len(rows) == 500
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for comp, members in by_comp.items():
+        ids = [m["doc_id"] for m in members]
+        assert comp == min(ids)
+        assert all(m["component_size"] == len(ids) for m in members)
+        assert [m["doc_id"] for m in members if m["is_canonical"]] == [comp]
+    kept = sum(r["is_canonical"] for r in rows)
+    assert kept == len(by_comp) < 500   # sf0.001 has real dup clusters
