@@ -30,6 +30,7 @@ BENCH_QUERIES = (
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "dedup_lsh_verified",
+    "dedup_components",
     "embdup_cosine_lsh",
     "ann_cosine_topk",
     "ivf_topk",

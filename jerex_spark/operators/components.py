@@ -86,7 +86,12 @@ def connected_components(edges: DataFrame, src: str, dst: str,
            .distinct()
            .localCheckpoint())
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        # checkpoint BETWEEN the stars too: _small_star consumes its
+        # input twice (min-agg + join) and Spark has no cross-plan CSE,
+        # so an unmaterialized large-star — itself two shuffles — would
+        # be recomputed in both branches (verified in explain()).
+        half = _large_star(cur).localCheckpoint()
+        nxt = _small_star(half).localCheckpoint()
         # exact stability: |nxt|=|cur| and nxt ⊆ cur (set-distinct both
         # ⟹ equality).  Counts first: a cheap partial-agg over the
         # checkpointed frontier short-circuits the exceptAll
