@@ -31,6 +31,7 @@ BENCH_QUERIES = (
     "ngram_jaccard",
     "dedup_lsh_verified",
     "dedup_components",
+    "corpus_curation",
     "embdup_cosine_lsh",
     "ann_cosine_topk",
     "ivf_topk",

@@ -98,8 +98,9 @@ def main():
     spark = build_session(app="scale-probe", master="local[32]")
     qs = all_queries()
     family = ("kg_triples", "dedup_exact", "minhash_lsh_pairs",
-              "dedup_lsh_verified", "dedup_components", "canon_gazetteer",
-              "lsh_topk", "ivf_topk", "embdup_cosine_lsh")
+              "dedup_lsh_verified", "dedup_components", "corpus_curation",
+              "canon_gazetteer", "lsh_topk", "ivf_topk",
+              "embdup_cosine_lsh")
 
     def run(name, sf_dir):
         fn = qs[name][0]

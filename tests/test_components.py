@@ -86,3 +86,31 @@ def test_dedup_components_keep_list(spark, sf001):
         assert [m["doc_id"] for m in members if m["is_canonical"]] == [comp]
     kept = sum(r["is_canonical"] for r in rows)
     assert kept == len(by_comp) < 500   # sf0.001 has real dup clusters
+
+
+def test_corpus_curation_contract(spark, sf001):
+    """Composed curation (operators/curation.py): filter verdict is
+    exactly the lang/quality predicate; kept implies passed; each
+    survivor cluster keeps exactly one member, the min doc_id; dropped
+    docs carry their own id as a singleton label (no NULLs — the
+    driver compare sorts row tuples)."""
+    from jerex_spark.operators.curation import (
+        CURATION_LANG, CURATION_MIN_QUALITY, corpus_curation)
+    rows = corpus_curation(spark, sf001).collect()
+    assert len(rows) == 500
+    assert all(r["component_id"] is not None for r in rows)
+    by_comp = {}
+    for r in rows:
+        assert r["passed_filter"] == (
+            r["pred_lang"] == CURATION_LANG
+            and r["quality"] >= CURATION_MIN_QUALITY)
+        if not r["passed_filter"]:
+            assert not r["kept"]
+            assert r["component_id"] == r["doc_id"]
+        else:
+            by_comp.setdefault(r["component_id"], []).append(r)
+    assert by_comp   # the operating point keeps a non-trivial subset
+    for comp, members in by_comp.items():
+        ids = sorted(m["doc_id"] for m in members)
+        assert comp == ids[0]
+        assert [m["doc_id"] for m in members if m["kept"]] == [comp]
