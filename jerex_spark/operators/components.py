@@ -85,6 +85,7 @@ def connected_components(edges: DataFrame, src: str, dst: str,
            .filter(F.col("u") != F.col("v"))
            .distinct()
            .localCheckpoint())
+    n_cur = cur.count()
     for _ in range(max_rounds):
         # checkpoint BETWEEN the stars too: _small_star consumes its
         # input twice (min-agg + join) and Spark has no cross-plan CSE,
@@ -93,13 +94,14 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         half = _large_star(cur).localCheckpoint()
         nxt = _small_star(half).localCheckpoint()
         # exact stability: |nxt|=|cur| and nxt ⊆ cur (set-distinct both
-        # ⟹ equality).  Counts first: a cheap partial-agg over the
-        # checkpointed frontier short-circuits the exceptAll
-        # anti-join shuffle on every non-final round.
-        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+        # ⟹ equality).  Counts first — cur's carried from last round,
+        # so the non-final rounds cost one count job and no exceptAll
+        # anti-join shuffle.
+        n_nxt = nxt.count()
+        if n_nxt == n_cur and nxt.exceptAll(cur).isEmpty():
             cur = nxt
             break
-        cur = nxt
+        cur, n_cur = nxt, n_nxt
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint within {max_rounds} "

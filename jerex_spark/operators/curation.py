@@ -36,8 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .components import connected_components
-from .dedup import MINHASH_SQL, minhash_lsh_pairs
-from .textops import QUALITY_SQL, _langid_sql, langid_ngram, quality_score
+from .dedup import MINHASH_SQL, _docs, minhash_lsh_pairs
+from .textops import QUALITY_SQL, _langid_sql, pred_lang_expr, quality_expr
 
 # operating point: English-predicted docs at >= the corpus's median
 # quality (0.35 at the synthetic corpus; quality is ROUND(..,4)-ed
@@ -49,14 +49,18 @@ CURATION_MIN_QUALITY = 0.35
 def corpus_curation(spark, sf_dir) -> DataFrame:
     """Per-document curation verdicts over ``documents``:
     (doc_id, pred_lang, quality, passed_filter, component_id, kept)."""
-    qual = quality_score(spark, sf_dir).select("doc_id", "quality")
-    lang = langid_ngram(spark, sf_dir).select(
-        "doc_id", F.col("pred").alias("pred_lang"))
-    verdict = qual.join(lang, "doc_id").select(
-        "doc_id", "pred_lang", "quality",
-        ((F.col("pred_lang") == CURATION_LANG)
-         & (F.col("quality") >= CURATION_MIN_QUALITY))
-        .alias("passed_filter"))
+    # both scores are pure Catalyst expressions over text, so the whole
+    # verdict is ONE documents scan — no self-join of per-doc score
+    # tables (the oracle joins QUALITY_SQL/_langid_sql on doc_id, which
+    # is value-identical)
+    verdict = (_docs(spark, sf_dir)
+               .select("doc_id",
+                       pred_lang_expr().alias("pred_lang"),
+                       quality_expr().alias("quality"))
+               .withColumn(
+                   "passed_filter",
+                   (F.col("pred_lang") == CURATION_LANG)
+                   & (F.col("quality") >= CURATION_MIN_QUALITY)))
 
     surv = verdict.filter("passed_filter").select("doc_id")
     pairs = minhash_lsh_pairs(spark, sf_dir)

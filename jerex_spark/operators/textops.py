@@ -171,17 +171,29 @@ FROM documents
 _STOPWORDS = ("the", "key", "scan", "join", "row")
 
 
-def quality_score(spark, sf_dir):
+def _quality_parts():
+    """(n_tokens, n_stopwords) Columns over ``text``."""
     toks = _toks()
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n = F.size(toks)
-    ratio = F.round(n_stop / n, 4)
-    quality = F.round(0.5 * (n_stop / n)
-                      + 0.5 * F.least(F.lit(1.0), n / F.lit(100.0)), 4)
+    return F.size(toks), n_stop
+
+
+def quality_expr():
+    """The quality score as a bare Column over ``text`` — lets composed
+    pipelines (operators/curation.py) fold it into an existing
+    documents scan instead of joining ``quality_score``'s output."""
+    n, n_stop = _quality_parts()
+    return F.round(0.5 * (n_stop / n)
+                   + 0.5 * F.least(F.lit(1.0), n / F.lit(100.0)), 4)
+
+
+def quality_score(spark, sf_dir):
+    n, n_stop = _quality_parts()
     return _docs(spark, sf_dir).select(
         "doc_id", n.alias("n_tokens"), n_stop.alias("n_stopwords"),
-        ratio.alias("stop_ratio"), quality.alias("quality"))
+        F.round(n_stop / n, 4).alias("stop_ratio"),
+        quality_expr().alias("quality"))
 
 
 QUALITY_SQL = f"""
@@ -210,18 +222,33 @@ def _marker_count(col, marker):
             / len(marker)).cast("long")
 
 
+def _lang_argmax(scores):
+    """Argmax over {lang: score Column} with deterministic priority
+    order on ties (earlier _LANG_MARKERS entry wins)."""
+    pred = F.lit("unk")
+    best = F.lit(-1).cast("long")
+    for lang, _ in _LANG_MARKERS:
+        cond = scores[lang] > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, scores[lang]).otherwise(best)
+    return pred
+
+
+def pred_lang_expr():
+    """Predicted language as a bare Column over ``text`` (same
+    expression ``langid_ngram`` projects) — for single-scan
+    composition in operators/curation.py."""
+    return _lang_argmax({lang: _marker_count(F.col("text"), m)
+                         for lang, m in _LANG_MARKERS})
+
+
 def langid_ngram(spark, sf_dir):
     d = _docs(spark, sf_dir)
     cols = [_marker_count(F.col("text"), m).alias(f"s_{lang}")
             for lang, m in _LANG_MARKERS]
     d = d.select("doc_id", "lang", *cols)
-    # argmax with deterministic priority order on ties
-    pred = F.lit("unk")
-    best = F.lit(-1).cast("long")
-    for lang, _ in _LANG_MARKERS:
-        cond = F.col(f"s_{lang}") > best
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
-        best = F.when(cond, F.col(f"s_{lang}")).otherwise(best)
+    pred = _lang_argmax({lang: F.col(f"s_{lang}")
+                         for lang, _ in _LANG_MARKERS})
     return d.select("doc_id", "lang", *[f"s_{lang}" for lang, _ in
                                         _LANG_MARKERS], pred.alias("pred"))
 
