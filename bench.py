@@ -32,6 +32,7 @@ BENCH_QUERIES = (
     "dedup_lsh_verified",
     "dedup_components",
     "corpus_curation",
+    "seq_packing",
     "embdup_cosine_lsh",
     "ann_cosine_topk",
     "ivf_topk",

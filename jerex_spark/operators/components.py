@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import MINHASH_SQL, _docs, minhash_lsh_pairs
+from .dedup import MINHASH_SQL, _docs, lsh_pair_graph
 
 # O(log n) convergence: 64 rounds covers any conceivable corpus
 # (2^64 nodes); hitting the cap means a bug, not a big input — raise.
@@ -123,9 +123,15 @@ def dedup_components(spark, sf_dir) -> DataFrame:
     candidates -> transitive closure -> per-doc cluster label, cluster
     size, and the keep/drop verdict (canonical = min doc_id).  The
     downstream 100 TB flow filters ``is_canonical`` to materialize the
-    deduplicated corpus."""
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    deduplicated corpus.
+
+    The closure consumes the COLLAPSED pair graph (rep-level LSH pairs
+    + per-group star edges, dedup.lsh_pair_graph): identical closure
+    as the expanded pair list — dup groups are cliques and a star
+    spans a clique — at k-1 instead of C(k,2) edges per group."""
+    _dm, _g, rep_pairs, star = lsh_pair_graph(spark, sf_dir)
+    comp = connected_components(rep_pairs.unionByName(star),
+                                "doc_a", "doc_b")
     labeled = (_docs(spark, sf_dir).select("doc_id")
                .join(comp, F.col("doc_id") == F.col("id"), "left")
                .select("doc_id",

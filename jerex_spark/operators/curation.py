@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .components import connected_components
-from .dedup import MINHASH_SQL, _docs, minhash_lsh_pairs
+from .dedup import MINHASH_SQL, _docs, lsh_pair_graph
 from .textops import QUALITY_SQL, _langid_sql, pred_lang_expr, quality_expr
 
 # operating point: English-predicted docs at >= the corpus's median
@@ -63,8 +63,15 @@ def corpus_curation(spark, sf_dir) -> DataFrame:
                    & (F.col("quality") >= CURATION_MIN_QUALITY)))
 
     surv = verdict.filter("passed_filter").select("doc_id")
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    edges = (pairs
+    # collapsed pair graph (rep LSH pairs + per-group star edges): same
+    # closure as the expanded pair list at linear edges per dup group.
+    # LOAD-BEARING INVARIANT: the filter is text-pure, so exact-dup
+    # groups survive or die atomically — the star form is equivalent
+    # only then (an id-dependent filter could drop just the rep and
+    # disconnect members the expanded member-member pairs would have
+    # kept together; such a filter must go back to minhash_lsh_pairs).
+    _dm, _g, rep_pairs, star = lsh_pair_graph(spark, sf_dir)
+    edges = (rep_pairs.unionByName(star)
              .join(surv.withColumnRenamed("doc_id", "doc_a"),
                    "doc_a", "left_semi")
              .join(surv.withColumnRenamed("doc_id", "doc_b"),

@@ -13,6 +13,11 @@ shuffle); the signature build is one partial-aggregable groupBy; the
 LSH bucket join is an equi-join on (hash_id, sig) — AQE handles bucket
 skew; candidate pairs are distinct-ed before any verify stage.  This
 is the standard scale path: candidates are O(near-dups), never O(n^2).
+The LSH family additionally collapses byte-identical texts BEFORE
+shingling (see _dup_groups below): signatures and verify verdicts are
+computed once per distinct text and expanded relationally, so the
+exact-dup mass that dominates web crawls costs linear expansion
+instead of quadratic candidate work.
 """
 
 from __future__ import annotations
@@ -57,8 +62,9 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _shingles(spark, sf_dir, k: int = SHINGLE_K):
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("l"))
+def _shingles(spark, sf_dir, k: int = SHINGLE_K, docs_df=None):
+    d = ((_docs(spark, sf_dir) if docs_df is None else docs_df)
+         .select("doc_id", F.split("text", " ").alias("l")))
     return (d.filter(F.size("l") >= k)
             .select("doc_id",
                     F.explode(F.transform(
@@ -66,6 +72,99 @@ def _shingles(spark, sf_dir, k: int = SHINGLE_K):
                         lambda i: F.concat_ws(" ", F.slice("l", i + 1, k))))
                     .alias("shingle"))
             .distinct())
+
+
+# --- exact-dup collapse for the LSH family --------------------------------
+# Web corpora are full of byte-identical documents (boilerplate,
+# mirrors; the 10x scale probe's replicated corpus is 90% exact dups).
+# Identical texts have identical shingle sets and therefore identical
+# MinHash signatures, so the LSH stages only ever need ONE
+# representative per distinct text: intra-group pairs all collide by
+# construction, and a cross-group verdict holds for every member pair.
+# Running shingle -> signature -> band join on representatives and
+# expanding verdicts relationally afterwards is a pure plan
+# optimization — output bitwise-identical to the per-doc oracle SQL —
+# that turns k identical copies from k^2 candidate work into k rows of
+# expansion.  (Same design as embdup_cosine_lsh's vector collapse.)
+# Array-free on purpose: expansion is equi-joins on the text hash, so
+# a pathological million-copy text never materializes a giant
+# collect_list row.
+def _dup_groups(spark, sf_dir):
+    """(docmap, groups): per-doc (doc_id, th=md5(text), n_toks) map and
+    one representative (min doc_id) per distinct text.  Both persisted
+    — the rep filter, the verdict expansion, and the intra-group pair
+    build all reuse them."""
+    docmap = _persist(_docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("th"),
+        F.size(F.split("text", " ")).alias("n_toks")))
+    groups = _persist(docmap.groupBy("th").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("k")))
+    return docmap, groups
+
+
+def _rep_shingles(spark, sf_dir, groups):
+    """Shingle table restricted to group representatives — the filter
+    sits BEFORE the explode, so the k-1 duplicate copies never shingle."""
+    reps = groups.select("doc_id")
+    return _shingles(spark, sf_dir,
+                     docs_df=_docs(spark, sf_dir)
+                     .join(reps, "doc_id", "left_semi"))
+
+
+def _rep_lsh_pairs(sh):
+    """MinHash-LSH candidate pairs over the given (rep) shingle table —
+    the same signature math as MINHASH_SQL."""
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("hash_id"),
+        "shingle")
+    sig = (hashed
+           .select("doc_id", "hash_id",
+                   F.md5(F.concat_ws("|", F.col("hash_id").cast("string"),
+                                     F.col("shingle"))).alias("h"))
+           .groupBy("doc_id", "hash_id").agg(F.min("h").alias("sig"))
+           # the self-join would otherwise recompute the whole
+           # shingle->hash->min pipeline for each side (Spark has no
+           # CSE across self-joins); signatures are tiny (n_reps x
+           # N_HASHES rows), so cache them
+           .transform(_persist))
+    a = sig.select(F.col("doc_id").alias("doc_a"), "hash_id", "sig")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "hash_id", "sig")
+    return (a.join(b, ["hash_id", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+def _expand_rep_pairs(rep_pairs, docmap, groups, carry=()):
+    """Rep-level pairs -> all member pairs, via equi-joins on the text
+    hash.  Each member pair appears exactly once (groups are disjoint
+    and the rep pair set is distinct), ordered with least/greatest
+    because group id ranges interleave."""
+    g = groups.select(F.col("doc_id").alias("rep"), "th")
+    withth = (rep_pairs
+              .join(g.select(F.col("rep").alias("doc_a"),
+                             F.col("th").alias("th_a")), "doc_a")
+              .join(g.select(F.col("rep").alias("doc_b"),
+                             F.col("th").alias("th_b")), "doc_b"))
+    ma = docmap.select(F.col("th").alias("th_a"), F.col("doc_id").alias("a"))
+    mb = docmap.select(F.col("th").alias("th_b"), F.col("doc_id").alias("b"))
+    return (withth.join(ma, "th_a").join(mb, "th_b")
+            .select(F.least("a", "b").alias("doc_a"),
+                    F.greatest("a", "b").alias("doc_b"), *carry))
+
+
+def _intra_pairs(docmap, groups, carry=()):
+    """All pairs within each exact-dup group (identical sigs collide in
+    every band), restricted — like the per-doc pipeline — to texts long
+    enough to shingle at all."""
+    dup_ths = groups.filter(F.col("k") > 1).select("th")
+    dm = (docmap.filter(F.col("n_toks") >= SHINGLE_K)
+          .join(dup_ths, "th", "left_semi"))
+    a = dm.select("th", F.col("doc_id").alias("doc_a"))
+    b = dm.select("th", F.col("doc_id").alias("doc_b"))
+    return (a.join(b, "th")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", *carry))
 
 
 _SHINGLES_SQL = f"""
@@ -80,31 +179,35 @@ shingles AS (
 
 
 # --- MinHash + LSH candidate pairs ---------------------------------------
-def minhash_lsh_pairs(spark, sf_dir, shingles=None):
-    # callers that already materialized the shingle table pass it in
-    # (dedup_lsh_verified): Spark has no CSE across separate plans, so
-    # without this the gated-verify composition would run the whole
-    # explode+distinct shingle build twice
-    sh = _shingles(spark, sf_dir) if shingles is None else shingles
-    hashed = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("hash_id"),
-        "shingle")
-    sig = (hashed
-           .select("doc_id", "hash_id",
-                   F.md5(F.concat_ws("|", F.col("hash_id").cast("string"),
-                                     F.col("shingle"))).alias("h"))
-           .groupBy("doc_id", "hash_id").agg(F.min("h").alias("sig"))
-           # the self-join would otherwise recompute the whole
-           # shingle->hash->min pipeline for each side (Spark has no
-           # CSE across self-joins); signatures are tiny (n_docs x
-           # N_HASHES rows), so cache them
-           .transform(_persist))
-    a = sig.select(F.col("doc_id").alias("doc_a"), "hash_id", "sig")
-    b = sig.select(F.col("doc_id").alias("doc_b"), "hash_id", "sig")
-    return (a.join(b, ["hash_id", "sig"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
+def minhash_lsh_pairs(spark, sf_dir):
+    """Candidate near-dup pairs: exact-dup collapse -> rep-level
+    shingle/MinHash/band join -> relational expansion back to member
+    pairs.  Bitwise-equal to the per-doc MINHASH_SQL oracle."""
+    docmap, groups = _dup_groups(spark, sf_dir)
+    rp = _rep_lsh_pairs(_rep_shingles(spark, sf_dir, groups))
+    return (_expand_rep_pairs(rp, docmap, groups)
+            .unionByName(_intra_pairs(docmap, groups)))
+
+
+def lsh_pair_graph(spark, sf_dir):
+    """(docmap, groups, rep_pairs, star_edges): the COLLAPSED form of
+    minhash_lsh_pairs for consumers that need the graph's closure, not
+    the pair list (operators/components.py, curation.py).  A dup group
+    is a clique in the expanded pair set; a star (rep -> each other
+    member) has the same transitive closure with k-1 edges instead of
+    C(k,2), so connected components over rep_pairs + star_edges equal
+    components over minhash_lsh_pairs output exactly — with edge count
+    linear, not quadratic, in duplicate mass.  Star edges carry the
+    same shingle-length gate as the pair pipeline (texts too short to
+    shingle never pair, so their dup groups stay singletons)."""
+    docmap, groups = _dup_groups(spark, sf_dir)
+    rp = _rep_lsh_pairs(_rep_shingles(spark, sf_dir, groups))
+    star = (docmap.filter(F.col("n_toks") >= SHINGLE_K)
+            .join(groups.select("th", F.col("doc_id").alias("rep")), "th")
+            .filter(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b")))
+    return docmap, groups, rp, star
 
 
 MINHASH_SQL = f"""
@@ -194,23 +297,32 @@ WHERE ROUND(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 4) >= 0.1
 # from a post-hoc inner join (the v1 mistake: full-corpus shingle
 # self-join, then filter).
 def dedup_lsh_verified(spark, sf_dir, threshold: float = 0.5):
-    # ONE shingle build feeds both stages: the post-distinct shingle
-    # table is persisted (post-shuffle — caching it avoids repeating
-    # the distinct's exchange, the expensive part) and shared by the
-    # MinHash signature pipeline and the gated verify side
-    sh = _persist(_shingles(spark, sf_dir))
-    cand = _persist(minhash_lsh_pairs(spark, sf_dir, shingles=sh))
-    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
-                 .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+    """Verify runs at the REPRESENTATIVE level too: Jaccard is a
+    function of the two shingle sets, so identical texts share every
+    verdict — k copies of a page cost ONE exact-Jaccard computation,
+    the verdict expands relationally, and intra-group pairs are 1.0 by
+    identity.  ONE rep-shingle build (persisted, post-distinct so the
+    cache sits after the expensive exchange) feeds both the MinHash
+    signature pipeline and the gated verify side."""
+    docmap, groups = _dup_groups(spark, sf_dir)
+    sh = _persist(_rep_shingles(spark, sf_dir, groups))
+    rp = _persist(_rep_lsh_pairs(sh))
+    cand_docs = (rp.select(F.col("doc_a").alias("doc_id"))
+                 .unionByName(rp.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
     # no broadcast hint: AQE converts the semi-join to broadcast at
     # runtime when the candidate set is small (the common case) but
     # degrades to a shuffle join gracefully when a corpus is dup-heavy
     gated = sh.join(cand_docs, "doc_id", "left_semi")
     jac = ngram_jaccard(spark, sf_dir, shingles=gated)
-    return (cand.join(jac, ["doc_a", "doc_b"])
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+    rep_ver = (rp.join(jac, ["doc_a", "doc_b"])
+               .filter(F.col("jaccard") >= threshold))
+    cross = _expand_rep_pairs(rep_ver, docmap, groups, carry=("jaccard",))
+    # identical shingle sets: jaccard is exactly 1.0 (>= any threshold
+    # in (0,1]; the oracle's ROUND(1.0, 4) is the same double)
+    intra = _intra_pairs(docmap, groups,
+                         carry=(F.lit(1.0).alias("jaccard"),))
+    return cross.unionByName(intra)
 
 
 DEDUP_VERIFIED_SQL = f"""
