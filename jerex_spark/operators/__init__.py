@@ -12,11 +12,11 @@ from __future__ import annotations
 
 
 def all_queries():
-    from . import (canon, components, curation, dedup, kg, packing,
-                   relational, similarity, textops)
+    from . import (canon, components, corpusprep, curation, dedup, kg,
+                   packing, relational, similarity, textops)
     out = {}
     for mod in (relational, textops, dedup, components, curation,
-                packing, similarity, kg, canon):
+                packing, corpusprep, similarity, kg, canon):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
