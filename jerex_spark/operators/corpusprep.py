@@ -1,6 +1,7 @@
-"""Corpus-preparation filters: decontamination, repetition, rebalance.
+"""Corpus-preparation filters: decontamination, repetition, rebalance,
+PII scrubbing.
 
-Three training-data hygiene operators a 100 TB pipeline runs between
+Training-data hygiene operators a 100 TB pipeline runs between
 curation (operators/curation.py) and batch assembly (operators/
 packing.py), all exact and oracle-checked:
 
@@ -21,6 +22,9 @@ packing.py), all exact and oracle-checked:
   md5-derived bucket — no floats, no rand(), so re-runs and the
   DuckDB oracle agree bit-for-bit and the judgement is reproducible
   under retries exactly like ``hash_split``.
+* ``pii_scrub`` — email/phone redaction with per-document counts; a
+  pure zero-shuffle projection using RE2-compatible patterns so the
+  Spark (Java regex) and DuckDB (RE2) engines agree exactly.
 
 Scale notes (100 TB): ``decontaminate`` is one shingle equi-join —
 the test side is ~5% of the corpus, shingled AFTER a left-semi gate
@@ -241,8 +245,57 @@ FROM d JOIN tot t USING (pred_lang) CROSS JOIN m
 """
 
 
+# --- PII scrubbing ---------------------------------------------------------
+# Conservative RE2-compatible patterns (both engines: Spark uses Java
+# regex, DuckDB uses RE2 — no lookbehind/backreference anywhere so the
+# two agree).  Emails and international-ish phone numbers; the scrub
+# is a pure projection (zero shuffles) and the counts let a pipeline
+# monitor redaction volume per partition/source.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def pii_scrub(spark, sf_dir) -> DataFrame:
+    """(doc_id, n_emails, n_phones, scrubbed): redact emails then
+    phone numbers, replacing each with a fixed token.  Order matters
+    and is part of the contract: emails first, so a digit-bearing
+    local part is not half-eaten by the phone pattern."""
+    d = _docs(spark, sf_dir)
+    # idx=0 = the whole match (Spark defaults to capture group 1,
+    # which raises on group-free patterns; DuckDB defaults to 0)
+    n_em = F.size(F.regexp_extract_all(
+        "text", F.lit(PII_EMAIL_RE), F.lit(0))).cast("long")
+    after_em = F.regexp_replace("text", PII_EMAIL_RE, EMAIL_TOKEN)
+    n_ph = F.size(F.regexp_extract_all(
+        after_em, F.lit(PII_PHONE_RE), F.lit(0))).cast("long")
+    return d.select(
+        "doc_id", n_em.alias("n_emails"), n_ph.alias("n_phones"),
+        F.regexp_replace(after_em, PII_PHONE_RE, PHONE_TOKEN)
+        .alias("scrubbed"))
+
+
+PII_SCRUB_SQL = f"""
+WITH e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+           AS BIGINT) AS n_emails,
+         regexp_replace(text, '{PII_EMAIL_RE}', '{EMAIL_TOKEN}', 'g')
+           AS after_em
+  FROM documents)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(after_em, '{PII_PHONE_RE}'))
+         AS BIGINT) AS n_phones,
+       regexp_replace(after_em, '{PII_PHONE_RE}', '{PHONE_TOKEN}', 'g')
+         AS scrubbed
+FROM e
+"""
+
+
 QUERIES = {
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "lang_rebalance": (lang_rebalance, LANG_REBALANCE_SQL),
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
 }

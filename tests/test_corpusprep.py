@@ -9,10 +9,11 @@ import tempfile
 import pandas as pd
 import pytest
 
-from jerex_spark.operators.corpusprep import (DUP_FRAC_MAX,
-                                              MIN_GRAMS_FOR_FLAG,
+from jerex_spark.operators.corpusprep import (DUP_FRAC_MAX, EMAIL_TOKEN,
+                                              MIN_GRAMS_FOR_FLAG, PHONE_TOKEN,
                                               REBALANCE_SALT, decontaminate,
-                                              doc_repetition, lang_rebalance)
+                                              doc_repetition, lang_rebalance,
+                                              pii_scrub)
 from jerex_spark.operators.packing import SPLIT_SALT, TRAIN_LT, VALID_LT
 
 
@@ -125,3 +126,29 @@ def test_lang_rebalance_mass_and_determinism(spark, sf001):
         b = _bucket(r["doc_id"], REBALANCE_SALT, 65536)
         assert r["bucket"] == b
         assert r["keep"] == (b * totals[r["pred_lang"]] < 65536 * mn)
+
+
+def test_pii_scrub_crafted(spark, tmp_corpus):
+    _write(spark, tmp_corpus, {
+        "doc_id": [1, 2, 3],
+        "text": ["contact jane.doe+spam@example.co.uk or bob@x.io now",
+                 "call +1 (555) 010-4477 or 555 010 9999 today",
+                 "no pii in this row at all"],
+    })
+    out = {r["doc_id"]: r for r in pii_scrub(spark, tmp_corpus).collect()}
+    r1 = out[1]
+    assert r1["n_emails"] == 2 and r1["n_phones"] == 0
+    assert r1["scrubbed"] == f"contact {EMAIL_TOKEN} or {EMAIL_TOKEN} now"
+    r2 = out[2]
+    assert r2["n_emails"] == 0 and r2["n_phones"] == 2
+    assert "555" not in r2["scrubbed"]
+    assert r2["scrubbed"].count(PHONE_TOKEN) == 2
+    r3 = out[3]
+    assert (r3["n_emails"], r3["n_phones"]) == (0, 0)
+    assert r3["scrubbed"] == "no pii in this row at all"
+
+
+def test_pii_scrub_zero_shuffle_plan(spark, sf001):
+    plan = (pii_scrub(spark, sf001)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
