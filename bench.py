@@ -33,6 +33,7 @@ BENCH_QUERIES = (
     "dedup_components",
     "corpus_curation",
     "seq_packing",
+    "decontaminate",
     "embdup_cosine_lsh",
     "ann_cosine_topk",
     "ivf_topk",
