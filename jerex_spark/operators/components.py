@@ -19,7 +19,11 @@ needs O(diameter) rounds and dies on chain-shaped dup clusters).
 Iteration happens on the driver but every step is distributed; per
 round the frontier is ``localCheckpoint``-ed to truncate lineage (at
 cluster scale with executor churn, swap for a reliable
-``checkpoint()`` dir — same call shape).
+``checkpoint()`` dir — same call shape).  When the distinct edge set
+is bounded (``DRIVER_CLOSURE_MAX_EDGES``) the closure instead runs as
+one collect + exact union-find on the driver — the round-trip latency
+of the distributed loop dominates whenever the pair graph is small,
+and near-dup pairs are a sliver of any real corpus.
 
 Reference semantics (transitive closure of the duplicate relation) per
 jerex's entity-cluster identity treatment: clusters are sets, the
@@ -39,6 +43,17 @@ from .dedup import MINHASH_SQL, _docs, lsh_pair_graph
 # O(log n) convergence: 64 rounds covers any conceivable corpus
 # (2^64 nodes); hitting the cap means a bug, not a big input — raise.
 MAX_CC_ROUNDS = 64
+
+# Below this many DISTINCT edges the closure runs as exact union-find
+# on the driver instead of the star alternation: the distributed loop
+# costs ~3 jobs/round x O(log n) rounds of driver-coordinated
+# latency, which dominates end-to-end time whenever the pair graph is
+# small — the common case, since near-dup pairs are a sliver of any
+# corpus.  Same move AQE makes when a shuffle join's input turns out
+# broadcast-sized.  1M edges is a bounded driver payload (two ids per
+# row, tens of MB); past the cap the star alternation runs unchanged,
+# so the operator stays cluster-safe at any scale.
+DRIVER_CLOSURE_MAX_EDGES = 1_000_000
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -70,22 +85,55 @@ def _small_star(edges: DataFrame) -> DataFrame:
             .distinct())
 
 
+def _driver_closure(cur: DataFrame) -> DataFrame:
+    """Exact union-find over a collected (bounded) distinct edge list.
+    Union keeps the smaller root, so every final root is its
+    component's minimum id — identical contract to the star
+    alternation."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]   # path halving
+            x = parent[x]
+        return x
+
+    for u, v in cur.collect():
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    from pyspark.sql.types import StructField, StructType
+    id_type = cur.schema["u"].dataType
+    schema = StructType([StructField("id", id_type, False),
+                         StructField("component", id_type, False)])
+    return cur.sparkSession.createDataFrame(
+        [(x, find(x)) for x in parent], schema)
+
+
 def connected_components(edges: DataFrame, src: str, dst: str,
-                         max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+                         max_rounds: int = MAX_CC_ROUNDS,
+                         driver_max_edges: int = DRIVER_CLOSURE_MAX_EDGES,
+                         ) -> DataFrame:
     """Exact connected components of the undirected graph given as an
     edge list.  Returns (``id``, ``component``) for every node that
     appears in ``edges`` — ``component`` is the minimum node id of the
     component (callers left-join and coalesce to label isolated rows).
 
     Ids must be orderable and non-null; self-loops are ignored.
-    Convergence is checked EXACTLY (set containment + count, not a
-    hash), and exceeding ``max_rounds`` raises — a wrong answer is
-    never returned silently."""
+    When the distinct edge count is at most ``driver_max_edges`` the
+    closure runs as driver-side union-find (see
+    ``DRIVER_CLOSURE_MAX_EDGES``); otherwise the distributed star
+    alternation runs, its convergence checked EXACTLY (set containment
+    + count, not a hash), and exceeding ``max_rounds`` raises — a
+    wrong answer is never returned silently."""
     cur = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .filter(F.col("u") != F.col("v"))
            .distinct()
            .localCheckpoint())
     n_cur = cur.count()
+    if n_cur <= driver_max_edges:
+        return _driver_closure(cur)
     for _ in range(max_rounds):
         # checkpoint BETWEEN the stars too: _small_star consumes its
         # input twice (min-agg + join) and Spark has no cross-plan CSE,

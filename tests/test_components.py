@@ -30,9 +30,9 @@ def _uf_components(edges):
     return {x: find(x) for x in parent}
 
 
-def _spark_components(spark, edges):
+def _spark_components(spark, edges, **kw):
     df = spark.createDataFrame(edges, "a: long, b: long")
-    out = connected_components(df, "a", "b")
+    out = connected_components(df, "a", "b", **kw)
     return {r["id"]: r["component"] for r in out.collect()}
 
 
@@ -44,31 +44,39 @@ edge_lists = st.lists(
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(edges=edge_lists)
-def test_matches_union_find(spark, edges):
-    got = _spark_components(spark, edges)
+def test_matches_union_find_distributed(spark, edges):
+    """driver_max_edges=0 forces the star alternation — the default
+    driver fast-path shares union-find with this test's reference, so
+    only the forced path is a non-circular check of the stars."""
+    got = _spark_components(spark, edges, driver_max_edges=0)
     want = _uf_components([e for e in edges if e[0] != e[1]])
     assert got == want
+
+
+def test_driver_fastpath_matches_distributed(spark):
+    """Default (fast-path) and forced-distributed closures agree —
+    same labels, same min-id representatives."""
+    edges = [(5, 3), (3, 9), (20, 21), (7, 7), (1, 9), (30, 29)]
+    fast = _spark_components(spark, edges)
+    dist = _spark_components(spark, edges, driver_max_edges=0)
+    assert fast == dist == {1: 1, 3: 1, 5: 1, 9: 1,
+                            20: 20, 21: 20, 29: 29, 30: 29}
 
 
 def test_chain_converges(spark):
     """A 64-node chain is label propagation's worst case (diameter 63
     rounds); the star alternation must collapse it in O(log n)."""
     edges = [(i, i + 1) for i in range(63)]
-    got = _spark_components(spark, edges)
+    got = _spark_components(spark, edges, driver_max_edges=0)
     assert got == {i: 0 for i in range(64)}
-
-
-def test_two_components_and_duplicates(spark):
-    edges = [(5, 3), (3, 5), (3, 9), (20, 21), (7, 7)]
-    got = _spark_components(spark, edges)
-    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
 
 
 def test_round_cap_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(20)],
                                "a: long, b: long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(df, "a", "b", max_rounds=0)
+        connected_components(df, "a", "b", max_rounds=0,
+                             driver_max_edges=0)
 
 
 def test_dedup_components_keep_list(spark, sf001):
