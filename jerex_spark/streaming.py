@@ -7,6 +7,9 @@ continuously-maintained KG needs:
 
 * :func:`streaming_extract` — pages stream (Iceberg incremental or
   file source, sources.read_pages_stream) through the extract stage;
+* :func:`streaming_dedup_exact` — continuous-ingestion exact dedup
+  with bounded state (``dropDuplicatesWithinWatermark``), the
+  streaming twin of ``operators.dedup.dedup_exact``;
 * :func:`streaming_entity_rollup` — an incrementally-maintained
   canonical-entity table via ``applyInPandasWithState``: per
   canonical_id the state carries (n_mentions, n_batches, first_seen,
@@ -27,6 +30,7 @@ from typing import Any, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .extract import extract_graph
@@ -101,6 +105,32 @@ def streaming_entity_rollup(canon_mentions: DataFrame) -> DataFrame:
                 stateStructType=ROLLUP_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# --- continuous-ingestion exact dedup -----------------------------------
+def streaming_dedup_exact(pages: DataFrame, time_col: str = "fetch_ts",
+                          delay: str = "24 hours") -> DataFrame:
+    """Pages stream -> first fetch of each distinct text within the
+    watermark horizon (the streaming twin of operators.dedup.dedup_exact,
+    reference analog: the dataset-load dedup a re-crawled corpus needs
+    before `jerex/model.py` inference).
+
+    ``dropDuplicatesWithinWatermark`` keys state by ``md5(text)`` and
+    evicts a key once the event-time watermark passes its first-seen
+    timestamp + ``delay`` — so state is bounded by the horizon's
+    distinct-content count, not the crawl's lifetime, which is the only
+    formulation that survives an unbounded 100 TB crawl.  Semantics at
+    the boundary: a re-crawl of unchanged content INSIDE the horizon is
+    dropped; the same content re-fetched AFTER the horizon is re-emitted
+    as a fresh first-seen — exactly what an incremental KG refresh
+    wants (dedupe the burst, re-process the long-interval revisit).
+    Batch-mode note: on a non-streaming DataFrame Spark treats this as
+    plain dropDuplicates, so the operator is safe in backfill jobs too.
+    """
+    return (pages
+            .withColumn("text_md5", F.md5("text"))
+            .withWatermark(time_col, delay)
+            .dropDuplicatesWithinWatermark(["text_md5"]))
 
 
 # --- transformWithState variant (Spark 4 stateful API) ------------------

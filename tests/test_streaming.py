@@ -252,3 +252,85 @@ def test_streaming_windowed_watermark(spark, tmp_path):
     want = {r.event_type: r.n for r in
             df.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
     assert {r.event_type: r.n for r in got} == want
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """streaming_dedup_exact: dup-heavy pages stream -> one row per
+    distinct text, matching the batch dedup_exact groupBy's key set."""
+    import pandas as pd
+
+    from jerex_spark.streaming import streaming_dedup_exact
+    src = str(tmp_path / "dedup_in")
+    texts = list(make_pages(5)["text"])
+    pdf = pd.DataFrame({
+        "doc_key": [f"p/{i}" for i in range(20)],
+        "text": [texts[i % 5] for i in range(20)],     # 4 copies each
+        "fetch_ts": pd.to_datetime(
+            [f"2024-01-01 00:{i:02d}:00" for i in range(20)]),
+    })
+    spark.createDataFrame(pdf).repartition(3).write.parquet(src)
+    stream = (spark.readStream
+              .schema("doc_key string, text string, fetch_ts timestamp")
+              .parquet(src))
+    q = (streaming_dedup_exact(stream, delay="1 hour")
+         .writeStream.format("memory").queryName("stream_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stream_dedup").collect()
+    assert len(rows) == 5, "one survivor per distinct text"
+    assert {r.text_md5 for r in rows} == {
+        r.text_md5 for r in spark.createDataFrame(pdf).selectExpr(
+            "md5(text) as text_md5").distinct().collect()}
+    # state bounded to the distinct-content count inside the horizon
+    state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    assert state <= 5, f"dedup state not bounded: {state} rows"
+
+
+def test_streaming_dedup_exact_readmits_after_horizon(spark, tmp_path):
+    """The horizon boundary, both sides: a re-crawl INSIDE the
+    watermark horizon is dropped; the same content re-fetched AFTER the
+    horizon (state evicted) is re-emitted as a fresh first-seen."""
+    import pandas as pd
+
+    from jerex_spark.streaming import streaming_dedup_exact
+    src = tmp_path / "dedup_readmit"
+    os.makedirs(src)
+    text_a, text_b, text_c, text_d = make_pages(4)["text"]
+
+    def _file(path, specs):
+        pd.DataFrame({
+            "doc_key": [k for k, _, _ in specs],
+            "text": [t for _, t, _ in specs],
+            "fetch_ts": pd.to_datetime([ts for _, _, ts in specs]),
+        }).to_parquet(path, index=False, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+
+    fs = [str(src / f"f{i}.parquet") for i in range(5)]
+    # batch 0: first fetches of A and B
+    _file(fs[0], [("p/a0", text_a, "2024-01-01 00:00:00"),
+                  ("p/b0", text_b, "2024-01-01 00:01:00")])
+    # batch 1: re-crawl of A inside the 10-minute horizon -> dropped
+    _file(fs[1], [("p/a1", text_a, "2024-01-01 00:05:00")])
+    # batch 2: C at 01:00 -> the watermark computed at this batch's END
+    # (00:50) becomes operative in batch 3 (Spark's one-batch delay)
+    _file(fs[2], [("p/c0", text_c, "2024-01-01 01:00:00")])
+    # batch 3: filler — runs under the 00:50 watermark, so its END
+    # evicts A (expired 00:10) and B (00:11) from the dedup state
+    _file(fs[3], [("p/d0", text_d, "2024-01-01 01:02:00")])
+    # batch 4: A again, long after the horizon -> fresh first-seen
+    _file(fs[4], [("p/a2", text_a, "2024-01-01 01:05:00")])
+    now = time.time()
+    for i, f in enumerate(fs):             # file source orders by mtime
+        os.utime(f, (now - 240 + i * 60, now - 240 + i * 60))
+
+    stream = (spark.readStream
+              .schema("doc_key string, text string, fetch_ts timestamp")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src)))
+    q = (streaming_dedup_exact(stream, delay="10 minutes")
+         .writeStream.format("memory").queryName("stream_readmit")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.doc_key for r in
+                 spark.sql("select * from stream_readmit").collect())
+    assert got == ["p/a0", "p/a2", "p/b0", "p/c0", "p/d0"], got
