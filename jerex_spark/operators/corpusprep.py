@@ -25,6 +25,15 @@ packing.py), all exact and oracle-checked:
 * ``pii_scrub`` — email/phone redaction with per-document counts; a
   pure zero-shuffle projection using RE2-compatible patterns so the
   Spark (Java regex) and DuckDB (RE2) engines agree exactly.
+* ``repeated_spans`` — position-aware repeated-substring detection at
+  k-token granularity (the distributable analog of the suffix-array
+  ExactSubstr dedup in Lee et al. 2021, "Deduplicating Training Data
+  Makes Language Models Better", arXiv:2107.06499): every k-token
+  window whose gram occurs >= 2 times corpus-wide (multiplicity
+  counted, so within-document repeats qualify too) is flagged, and
+  consecutive flagged positions merge into maximal spans.  Unlike the
+  document-level dedup family this finds the boilerplate *inside*
+  otherwise-unique pages — the dominant duplication mode in web text.
 
 Scale notes (100 TB): ``decontaminate`` is one shingle equi-join —
 the test side is ~5% of the corpus, shingled AFTER a left-semi gate
@@ -39,7 +48,7 @@ partial agg plus a broadcast join, zero wide shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import persist_tracked as _persist
@@ -293,9 +302,89 @@ FROM e
 """
 
 
+# --- repeated-substring spans ----------------------------------------------
+def repeated_spans(spark, sf_dir, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows, max_occurrences):
+    maximal token spans covered by k-gram windows that occur >= 2
+    times anywhere in the corpus (multiplicity counted — a gram
+    repeated within one document qualifies).  ``span_start`` /
+    ``span_end`` are inclusive token indices; ``n_windows`` is how
+    many flagged windows merged into the span; ``max_occurrences`` the
+    highest corpus-wide count among them.
+
+    Position-aware substring dedup per Lee et al. 2021
+    (arXiv:2107.06499): their suffix array finds repeats at byte
+    granularity in one machine's memory; the distributable form is
+    fixed-k windows — one flatMap (posexplode, no shuffle), one
+    partial-aggregable groupBy on the gram hash, one equi-join back,
+    and a per-document window merge.  Grams are md5-hashed before the
+    groupBy so the shuffle carries 32-byte keys instead of raw k-token
+    strings (identical expression on the DuckDB side, so the oracle is
+    bitwise).  The merge window is partitioned by doc_id — never
+    global — and a document contributes at most n_tokens rows to it.
+    At 100 TB the gram-count join is the only wide stage; AQE handles
+    the skew of ultra-common boilerplate grams."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("l"))
+    grams = (d.filter(F.size("l") >= k)
+             .select("doc_id", F.posexplode(F.transform(
+                 F.sequence(F.lit(0), F.size("l") - k),
+                 lambda i: F.md5(F.concat_ws(" ", F.slice("l", i + 1, k)))))
+                 .alias("pos", "gh")))
+    grams = _persist(grams)
+    rep = (grams.groupBy("gh").agg(F.count("*").alias("c"))
+           .filter(F.col("c") >= 2))
+    flagged = grams.join(rep, "gh").select("doc_id", "pos", "c")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) == 1,
+                 F.lit(0)).otherwise(F.lit(1))
+    spans = (flagged.withColumn("brk", brk)
+             .withColumn("span_id", F.sum("brk").over(
+                 w.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))))
+    return (spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        F.count("*").cast("long").alias("n_windows"),
+        F.max("c").cast("long").alias("max_occurrences"))
+        .drop("span_id"))
+
+
+REPEATED_SPANS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(l[i + 1:i + {SHINGLE_K}], ' ')) AS gh
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(0, len(l) - {SHINGLE_K})) AS i
+        FROM t WHERE len(l) >= {SHINGLE_K})),
+rep AS (SELECT gh, COUNT(*) AS c FROM g GROUP BY gh
+        HAVING COUNT(*) >= 2),
+f AS (SELECT g.doc_id, g.pos, rep.c FROM g JOIN rep USING (gh)),
+s AS (
+  SELECT doc_id, pos, c,
+         CASE WHEN pos - LAG(pos) OVER
+                (PARTITION BY doc_id ORDER BY pos) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM f),
+sp AS (
+  SELECT doc_id, pos, c,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM s)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {SHINGLE_K - 1} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(MAX(c) AS BIGINT) AS max_occurrences
+FROM sp GROUP BY doc_id, span_id
+"""
+
+
 QUERIES = {
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "lang_rebalance": (lang_rebalance, LANG_REBALANCE_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),
 }

@@ -167,6 +167,40 @@ FROM documents
 """
 
 
+# --- corpus vocabulary: top-k tokens (tokenizer-prep) -------------------
+VOCAB_TOPK_N = 256
+
+
+def vocab_topk(spark, sf_dir, n: int = VOCAB_TOPK_N):
+    """(tok, n_occurrences, n_docs): the corpus's top-``n`` whitespace
+    tokens by total occurrence count — the seed-vocabulary scan a
+    BPE/WordPiece tokenizer build starts from.  Ties at the cut break
+    deterministically by token string (count DESC, tok ASC), so the
+    selected set is identical across engines and retries.  The plan is
+    one partial-aggregable groupBy followed by TakeOrderedAndProject —
+    per-partition top-n then a driver merge of n-row heaps, never a
+    global sort of the vocabulary: safe at any corpus size."""
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", F.explode(_toks()).alias("tok")))
+    counts = toks.groupBy("tok").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"))
+    return (counts
+            .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+            .limit(n))
+
+
+VOCAB_TOPK_SQL = f"""
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents)
+GROUP BY tok
+ORDER BY n_occurrences DESC, tok ASC
+LIMIT {VOCAB_TOPK_N}
+"""
+
+
 # --- quality scoring: stopword ratio + length --------------------------
 _STOPWORDS = ("the", "key", "scan", "join", "row")
 
@@ -420,6 +454,7 @@ QUERIES = {
     "tokens_flat": (tokens_flat, TOKENS_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
+    "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "langid_ngram": (langid_ngram, _langid_sql()),
     "fingerprint_bottomk": (fingerprint_bottomk, FINGERPRINT_SQL),
     "simhash32": (simhash32, SIMHASH_SQL),

@@ -152,3 +152,74 @@ def test_pii_scrub_zero_shuffle_plan(spark, sf001):
     plan = (pii_scrub(spark, sf001)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan
+
+
+def test_repeated_spans_crafted(spark, tmp_corpus):
+    """Cross-doc shared 5-gram flags one window per doc; an internal
+    run of identical tokens merges consecutive windows into one
+    maximal span; a unique doc emits nothing; short docs emit
+    nothing."""
+    shared = "alpha beta gamma delta epsilon"
+    _write(spark, tmp_corpus, {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [f"{shared} zeta1",          # window 0 shared, window 1 unique
+                 f"{shared} eta2",           # same shared window 0
+                 "r r r r r r r",            # 3 windows, all the same gram
+                 "u1 u2 u3 u4 u5 u6 u7",     # all unique
+                 "tiny doc"],                # < k tokens: no windows
+    })
+    from jerex_spark.operators.corpusprep import repeated_spans
+    out = repeated_spans(spark, tmp_corpus).collect()
+    spans = {r["doc_id"]: r for r in out}
+    assert sorted(spans) == [1, 2, 3]
+    for d in (1, 2):
+        r = spans[d]
+        assert (r["span_start"], r["span_end"]) == (0, 4)
+        assert r["n_windows"] == 1
+        # "alpha..epsilon" occurs twice corpus-wide
+        assert r["max_occurrences"] == 2
+    r3 = spans[3]
+    # windows at pos 0,1,2 all hash the same gram -> one merged span
+    # covering the whole 7-token run; the gram occurs 3x corpus-wide
+    assert (r3["span_start"], r3["span_end"]) == (0, 6)
+    assert r3["n_windows"] == 3
+    assert r3["max_occurrences"] == 3
+
+
+def test_repeated_spans_merges_only_adjacent(spark, tmp_corpus):
+    """Two repeated regions separated by unique tokens stay two
+    spans (the break condition is pos - lag(pos) > 1)."""
+    a = "a1 a2 a3 a4 a5"
+    b = "b1 b2 b3 b4 b5"
+    _write(spark, tmp_corpus, {
+        "doc_id": [1, 2, 3],
+        "text": [f"{a} gap1 gap2 gap3 gap4 gap5 {b}",
+                 a, b],
+    })
+    from jerex_spark.operators.corpusprep import repeated_spans
+    rows = sorted(
+        ((r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+         for r in repeated_spans(spark, tmp_corpus).collect()))
+    # doc 1: tokens 0-4 = a (window pos 0), tokens 10-14 = b (pos 10);
+    # intervening windows straddle the gap and are unique
+    assert rows == [(1, 0, 4, 1), (1, 10, 14, 1),
+                    (2, 0, 4, 1), (3, 0, 4, 1)]
+
+
+def test_vocab_topk_tiebreak_and_plan(spark, tmp_corpus):
+    """The cut at n is deterministic (count DESC, tok ASC) and the
+    physical plan is TakeOrderedAndProject — per-partition heaps, not
+    a global Sort of the vocabulary."""
+    from jerex_spark.operators.textops import vocab_topk
+    # b and c tie at 2 occurrences; n=2 must keep a (3x) and b (tie
+    # broken by token string), never c
+    _write(spark, tmp_corpus, {
+        "doc_id": [1, 2],
+        "text": ["a b c a", "a c b"],
+    })
+    rows = vocab_topk(spark, tmp_corpus, n=2).collect()
+    got = {r["tok"]: (r["n_occurrences"], r["n_docs"]) for r in rows}
+    assert got == {"a": (3, 2), "b": (2, 2)}
+    plan = (vocab_topk(spark, tmp_corpus)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan, plan
