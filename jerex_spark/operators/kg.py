@@ -23,6 +23,7 @@ from ..pipeline import build_graph, flagship_triples, kg_tables, \
 # corpus-signature expression + SQL builder live in golden.py, shared
 # with scripts/make_golden.py so the freeze side and the check side
 # can never drift apart
+from .golden import DOC_SIG_EXPR, GOLDEN_GLOB
 from .golden import golden_doc_sql as _golden_sql
 
 
@@ -147,6 +148,148 @@ LEFT JOIN agg ON agg.doc_key = d.doc_key
 #   tok rows, but the mapInPandas side still emits its (0, 0) row.
 
 
+# --- graph analytics over the constructed KG -------------------------------
+# The north rule's "graph materialize" output must be QUERYABLE, not
+# just written: these queries consume the emitted triple table itself.
+# The Spark side derives from the live flagship extract; the DuckDB
+# oracle runs the SAME derivation over the frozen golden triples
+# (bitwise-equal tables per the kg_triples oracle), so any exact-
+# integer graph statistic must agree.  All three are per-document
+# graphs keyed by (doc_key, entity_idx): every join/agg is an
+# equi-join / partial-aggregable groupBy on that key, never a global
+# window, so at 100 TB a document's subgraph stays on one partition's
+# worth of rows and the stages scale with the triple count.
+
+
+def _golden_triples_derived(derivation: str) -> str:
+    """DuckDB oracle fragment: signature-selected golden triples as CTE
+    ``tr``, followed by ``derivation`` (a SELECT over ``tr``)."""
+    return f"""
+WITH sig AS (SELECT {DOC_SIG_EXPR} AS s FROM documents),
+tr AS (
+  SELECT g.doc_key, g.head_idx, g.tail_idx, g.rel_type,
+         g.head_type, g.tail_type
+  FROM read_parquet('{GOLDEN_GLOB}/*/golden_triples.parquet') g
+  JOIN sig ON g.corpus_sig = sig.s)
+{derivation}
+"""
+
+
+def _undirected(t):
+    """(doc_key, e, nbr, is_out) — each triple contributes one out-edge
+    row for its head and one in-edge row for its tail."""
+    out_ = t.select("doc_key", F.col("head_idx").alias("e"),
+                    F.col("tail_idx").alias("nbr"),
+                    F.lit(1).alias("is_out"))
+    in_ = t.select("doc_key", F.col("tail_idx").alias("e"),
+                   F.col("head_idx").alias("nbr"),
+                   F.lit(0).alias("is_out"))
+    return out_.unionByName(in_)
+
+
+def kg_entity_degree(spark, sf_dir):
+    """(doc_key, entity_idx, n_out, n_in, out_neighbors, in_neighbors,
+    degree) for every entity that participates in >= 1 emitted triple:
+    triple counts by direction plus distinct-neighbor counts (degree =
+    distinct undirected neighbors).  One groupBy on (doc_key, entity)."""
+    u = _undirected(_triples_identity(
+        flagship_triples(spark, sf_dir, DEFAULT)))
+    return u.groupBy("doc_key", F.col("e").alias("entity_idx")).agg(
+        F.sum("is_out").cast("long").alias("n_out"),
+        F.sum(1 - F.col("is_out")).cast("long").alias("n_in"),
+        F.count_distinct(F.when(F.col("is_out") == 1, F.col("nbr")))
+        .cast("long").alias("out_neighbors"),
+        F.count_distinct(F.when(F.col("is_out") == 0, F.col("nbr")))
+        .cast("long").alias("in_neighbors"),
+        F.count_distinct("nbr").cast("long").alias("degree"))
+
+
+KG_ENTITY_DEGREE_SQL = _golden_triples_derived("""
+, u AS (
+  SELECT doc_key, head_idx AS e, tail_idx AS nbr, 1 AS is_out FROM tr
+  UNION ALL
+  SELECT doc_key, tail_idx AS e, head_idx AS nbr, 0 AS is_out FROM tr)
+SELECT doc_key, CAST(e AS BIGINT) AS entity_idx,
+       CAST(SUM(is_out) AS BIGINT) AS n_out,
+       CAST(SUM(1 - is_out) AS BIGINT) AS n_in,
+       CAST(COUNT(DISTINCT CASE WHEN is_out = 1 THEN nbr END)
+            AS BIGINT) AS out_neighbors,
+       CAST(COUNT(DISTINCT CASE WHEN is_out = 0 THEN nbr END)
+            AS BIGINT) AS in_neighbors,
+       CAST(COUNT(DISTINCT nbr) AS BIGINT) AS degree
+FROM u GROUP BY doc_key, e
+""")
+
+
+def kg_twohop(spark, sf_dir):
+    """(doc_key, entity_idx, n_1hop, n_2hop): distinct entities within
+    1 and within <= 2 undirected hops (self excluded) in each
+    document's triple graph — the neighborhood-expansion primitive of
+    KG queries.  One self-join of the distinct undirected edge set on
+    (doc_key, hop node); per-document graphs bound the fan-out."""
+    t = _triples_identity(flagship_triples(spark, sf_dir, DEFAULT))
+    one = (_undirected(t).select("doc_key", "e", "nbr").distinct())
+    two = (one.alias("a")
+           .join(one.alias("b"),
+                 [F.col("a.doc_key") == F.col("b.doc_key"),
+                  F.col("a.nbr") == F.col("b.e")])
+           .select(F.col("a.doc_key").alias("doc_key"),
+                   F.col("a.e").alias("e"),
+                   F.col("b.nbr").alias("nbr")))
+    reach = (one.unionByName(two)
+             .filter(F.col("nbr") != F.col("e")).distinct())
+    return (one.groupBy("doc_key", "e")
+            .agg(F.count_distinct("nbr").cast("long").alias("n_1hop"))
+            .join(reach.groupBy("doc_key", "e")
+                  .agg(F.count("*").cast("long").alias("n_2hop")),
+                  ["doc_key", "e"])
+            .select("doc_key", F.col("e").cast("long").alias("entity_idx"),
+                    "n_1hop", "n_2hop"))
+
+
+KG_TWOHOP_SQL = _golden_triples_derived("""
+, one AS (
+  SELECT DISTINCT doc_key, e, nbr FROM (
+    SELECT doc_key, head_idx AS e, tail_idx AS nbr FROM tr
+    UNION ALL
+    SELECT doc_key, tail_idx AS e, head_idx AS nbr FROM tr)),
+two AS (
+  SELECT a.doc_key, a.e, b.nbr
+  FROM one a JOIN one b ON a.doc_key = b.doc_key AND a.nbr = b.e),
+reach AS (
+  SELECT DISTINCT doc_key, e, nbr
+  FROM (SELECT * FROM one UNION ALL SELECT * FROM two)
+  WHERE nbr <> e)
+SELECT o.doc_key, CAST(o.e AS BIGINT) AS entity_idx,
+       CAST(o.n_1hop AS BIGINT) AS n_1hop,
+       CAST(r.n_2hop AS BIGINT) AS n_2hop
+FROM (SELECT doc_key, e, COUNT(DISTINCT nbr) AS n_1hop
+      FROM one GROUP BY doc_key, e) o
+JOIN (SELECT doc_key, e, COUNT(*) AS n_2hop
+      FROM reach GROUP BY doc_key, e) r
+  ON o.doc_key = r.doc_key AND o.e = r.e
+""")
+
+
+def kg_rel_profile(spark, sf_dir):
+    """(rel_type, head_type, tail_type, n_triples, n_docs): the schema
+    profile of the constructed KG — which (subject-type, predicate,
+    object-type) signatures the extractor actually emits and how widely
+    (distinct supporting documents).  Low-cardinality partial agg."""
+    t = _triples_identity(flagship_triples(spark, sf_dir, DEFAULT))
+    return t.groupBy("rel_type", "head_type", "tail_type").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.count_distinct("doc_key").cast("long").alias("n_docs"))
+
+
+KG_REL_PROFILE_SQL = _golden_triples_derived("""
+SELECT rel_type, head_type, tail_type,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT doc_key) AS BIGINT) AS n_docs
+FROM tr GROUP BY rel_type, head_type, tail_type
+""")
+
+
 _TRIPLE_COLS = ["doc_key", "head_idx", "tail_idx", "rel_type",
                 "head_type", "tail_type", "head_key", "tail_key"]
 
@@ -163,4 +306,7 @@ QUERIES = {
         "doc_key", "n_tokens", "n_spans", "n_mentions", "n_entities",
         "n_triples", "spans_capped", "mentions_capped", "pairs_capped"])),
     "kg_token_stats": (kg_token_stats, KG_TOKEN_STATS_SQL),
+    "kg_entity_degree": (kg_entity_degree, KG_ENTITY_DEGREE_SQL),
+    "kg_twohop": (kg_twohop, KG_TWOHOP_SQL),
+    "kg_rel_profile": (kg_rel_profile, KG_REL_PROFILE_SQL),
 }
