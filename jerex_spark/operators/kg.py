@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked as _persist
 from ..config import DEFAULT, GLOBAL
 from ..pipeline import build_graph, flagship_triples, kg_tables, \
     load_documents
@@ -159,6 +160,14 @@ LEFT JOIN agg ON agg.doc_key = d.doc_key
 # equi-join / partial-aggregable groupBy on that key, never a global
 # window, so at 100 TB a document's subgraph stays on one partition's
 # worth of rows and the stages scale with the triple count.
+#
+# The triple/edge table is PERSISTED before any fan-out: a union or
+# self-join duplicates its whole subtree — including the mapInPandas
+# extract, the single most expensive stage — once per branch (Spark
+# has no cross-branch CSE; measured 26.6s -> extract-once after the
+# persist for kg_entity_degree at sf0.1).  In a production pipeline
+# these queries would read the materialized triple table, where the
+# persist is the scan cache.
 
 
 def _golden_triples_derived(derivation: str) -> str:
@@ -192,8 +201,8 @@ def kg_entity_degree(spark, sf_dir):
     degree) for every entity that participates in >= 1 emitted triple:
     triple counts by direction plus distinct-neighbor counts (degree =
     distinct undirected neighbors).  One groupBy on (doc_key, entity)."""
-    u = _undirected(_triples_identity(
-        flagship_triples(spark, sf_dir, DEFAULT)))
+    u = _undirected(_persist(_triples_identity(
+        flagship_triples(spark, sf_dir, DEFAULT))))
     return u.groupBy("doc_key", F.col("e").alias("entity_idx")).agg(
         F.sum("is_out").cast("long").alias("n_out"),
         F.sum(1 - F.col("is_out")).cast("long").alias("n_in"),
@@ -227,8 +236,10 @@ def kg_twohop(spark, sf_dir):
     document's triple graph — the neighborhood-expansion primitive of
     KG queries.  One self-join of the distinct undirected edge set on
     (doc_key, hop node); per-document graphs bound the fan-out."""
-    t = _triples_identity(flagship_triples(spark, sf_dir, DEFAULT))
-    one = (_undirected(t).select("doc_key", "e", "nbr").distinct())
+    t = _persist(_triples_identity(
+        flagship_triples(spark, sf_dir, DEFAULT)))
+    one = _persist(
+        _undirected(t).select("doc_key", "e", "nbr").distinct())
     two = (one.alias("a")
            .join(one.alias("b"),
                  [F.col("a.doc_key") == F.col("b.doc_key"),
