@@ -97,7 +97,8 @@ def main():
     from jerex_spark.session import build_session
     spark = build_session(app="scale-probe", master="local[32]")
     qs = all_queries()
-    family = ("kg_triples", "dedup_exact", "minhash_lsh_pairs",
+    family = ("kg_triples", "kg_entity_degree", "kg_twohop",
+              "dedup_exact", "minhash_lsh_pairs",
               "dedup_lsh_verified", "dedup_components", "corpus_curation",
               "canon_gazetteer", "lsh_topk", "ivf_topk",
               "embdup_cosine_lsh")
