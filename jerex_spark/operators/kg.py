@@ -301,6 +301,233 @@ FROM tr GROUP BY rel_type, head_type, tail_type
 """)
 
 
+def _triangles_from(t):
+    """Per-entity triangle counts from a triple-identity DataFrame
+    (factored out of :func:`kg_triangles` so tests can feed crafted
+    graphs)."""
+    ed = _persist(
+        t.filter(F.col("head_idx") != F.col("tail_idx"))
+        .select("doc_key",
+                F.least("head_idx", "tail_idx").alias("a"),
+                F.greatest("head_idx", "tail_idx").alias("b"))
+        .distinct())
+    # the a<b orientation makes every triangle {a<b<c} match exactly
+    # once: e1=(a,b), e2=(b,c), closing edge e3=(a,c)
+    tri = _persist(
+        ed.alias("e1")
+        .join(ed.alias("e2"),
+              [F.col("e1.doc_key") == F.col("e2.doc_key"),
+               F.col("e1.b") == F.col("e2.a")])
+        .join(ed.alias("e3"),
+              [F.col("e2.doc_key") == F.col("e3.doc_key"),
+               F.col("e1.a") == F.col("e3.a"),
+               F.col("e2.b") == F.col("e3.b")])
+        .select(F.col("e1.doc_key").alias("doc_key"),
+                F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+                F.col("e2.b").alias("c")))
+    corners = (tri.select("doc_key", F.col("a").alias("e"))
+               .unionByName(tri.select("doc_key", F.col("b").alias("e")))
+               .unionByName(tri.select("doc_key", F.col("c").alias("e"))))
+    return (corners
+            .groupBy("doc_key", F.col("e").cast("long").alias("entity_idx"))
+            .agg(F.count("*").cast("long").alias("n_triangles")))
+
+
+def kg_triangles(spark, sf_dir):
+    """(doc_key, entity_idx, n_triangles): triangles each entity
+    participates in within its document's undirected entity graph —
+    the local-clustering primitive of KG quality analysis.  Distinct
+    a<b edges, two-path join + closing-edge join, all keyed
+    (doc_key, node): per-document graphs bound the fan-out, and the
+    a<b vertex orientation is the standard trick that keeps the
+    two-path join's per-node work proportional to oriented out-degree
+    at web scale.  Exact-integer output; the oracle runs the same
+    derivation over the frozen golden triples."""
+    return _triangles_from(_persist(_triples_identity(
+        flagship_triples(spark, sf_dir, DEFAULT))))
+
+
+KG_TRIANGLES_SQL = _golden_triples_derived("""
+, ed AS (
+  SELECT DISTINCT doc_key,
+         LEAST(head_idx, tail_idx) AS a,
+         GREATEST(head_idx, tail_idx) AS b
+  FROM tr WHERE head_idx <> tail_idx),
+tri AS (
+  SELECT e1.doc_key, e1.a, e1.b, e2.b AS c
+  FROM ed e1
+  JOIN ed e2 ON e1.doc_key = e2.doc_key AND e1.b = e2.a
+  JOIN ed e3 ON e2.doc_key = e3.doc_key AND e1.a = e3.a
+            AND e2.b = e3.b),
+corners AS (
+  SELECT doc_key, a AS e FROM tri
+  UNION ALL SELECT doc_key, b AS e FROM tri
+  UNION ALL SELECT doc_key, c AS e FROM tri)
+SELECT doc_key, CAST(e AS BIGINT) AS entity_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY doc_key, e
+""")
+
+
+# PageRank operating point: damping d = PR_DAMP_NUM/PR_DAMP_DEN,
+# PR_ITERS synchronous iterations, ranks carried as parts-per-billion
+# LONGs (PR_SCALE).  Integer fixed-point BY DESIGN: double-valued
+# PageRank is not reproducible across engines or even across Spark
+# summation orders (fp addition doesn't commute), and any decimal
+# rounding of it sits one ulp from a flipped digit for the
+# terminating-decimal trajectories small documents actually produce
+# (a one-triple doc's exact rank lands ON a 6-decimal .5 boundary).
+# With floor-divide-before-sum long arithmetic every engine — Spark
+# at any parallelism, DuckDB, a driver-side reference — computes the
+# IDENTICAL integers, so the oracle is plain SQL and the result is
+# bitwise-stable under repartitioning: determinism a 1000-executor
+# run keeps for free.  Truncation bias is <= ~(in_degree + 2) ppb per
+# node per iteration — irrelevant at ranking granularity.
+PR_DAMP_NUM, PR_DAMP_DEN = 17, 20     # d = 0.85
+PR_ITERS = 5
+PR_SCALE = 10 ** 9
+
+# one iteration step, shared by the Spark plan and the DuckDB oracle
+# up to the integral-divide spelling ({d}: Spark `DIV`, DuckDB `//` —
+# identical on the nonnegative operands here):
+# new_rank = (1-d)*S/n + d*(contrib + dangling/n), all floor
+_PR_STEP_T = ("({bs} {d} ({dd} * n)) "
+              "+ ({dn} * ({c} + {dang} {d} n)) {d} {dd}")
+
+
+def _pr_step(divop: str, c: str = "c", dang: str = "dang") -> str:
+    # (1-d)*S is pre-multiplied into ONE literal: as `3 * 1000000000`
+    # both engines would evaluate an INT32 product and overflow.  The
+    # contrib/dangling references are substitutable because the DuckDB
+    # side must inline its COALESCEs (a bare lateral alias would
+    # resolve to the NULLable joined column of the same name instead)
+    return _PR_STEP_T.format(
+        bs=(PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE, dd=PR_DAMP_DEN,
+        dn=PR_DAMP_NUM, d=divop, c=c, dang=dang)
+
+
+def _pagerank_from(t):
+    """PR_ITERS synchronous PageRank iterations over the per-document
+    entity graphs of a triple-identity DataFrame — the
+    iterative-algorithm pattern (driver loop building join+groupBy
+    stages, state ``localCheckpoint``-ed per iteration, exactly how a
+    production run would checkpoint between rounds).  The checkpoint
+    — not a mere persist — is load-bearing: each iteration references
+    the previous ranks TWICE (contributions + dangling mass), so
+    without lineage truncation the logical plan doubles per round on
+    top of the full extract subtree; five rounds of that OOMed a
+    default-heap driver building the AQE plan string (persist caches
+    data but keeps the plan).  Same pattern as operators/components.py.
+    Distinct directed edges, self-loops dropped,
+    dangling mass redistributed per document.  Every join / groupBy is
+    keyed (doc_key, entity): co-partitioned stages whose shuffles
+    reuse one partitioning, no global structure — at 100 TB each
+    document's subgraph stays partition-local and iteration cost is
+    linear in the edge table."""
+    edges = (
+        t.filter(F.col("head_idx") != F.col("tail_idx"))
+        .select("doc_key", F.col("head_idx").alias("src"),
+                F.col("tail_idx").alias("dst")).distinct()
+        .localCheckpoint())
+    nodes_raw = (edges.select("doc_key", F.col("src").alias("e"))
+                 .unionByName(
+                     edges.select("doc_key", F.col("dst").alias("e")))
+                 .distinct())
+    out_deg = edges.groupBy("doc_key", F.col("src").alias("e")).agg(
+        F.count("*").alias("out_deg"))
+    doc_n = nodes_raw.groupBy("doc_key").agg(F.count("*").alias("n"))
+    nodes = (
+        nodes_raw.join(out_deg, ["doc_key", "e"], "left")
+        .join(doc_n, ["doc_key"])
+        .select("doc_key", "e",
+                F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                "n")
+        .localCheckpoint())
+    ranks = nodes.withColumn("r", F.expr(f"{PR_SCALE} DIV n"))
+    for _ in range(PR_ITERS):
+        contrib = (edges
+                   .join(ranks.select("doc_key", F.col("e").alias("src"),
+                                      "r", "out_deg"),
+                         ["doc_key", "src"])
+                   .groupBy("doc_key", F.col("dst").alias("e"))
+                   .agg(F.sum(F.expr("r DIV out_deg")).alias("c")))
+        dangling = (ranks.filter(F.col("out_deg") == 0)
+                    .groupBy("doc_key").agg(F.sum("r").alias("dang")))
+        ranks = (
+            nodes.join(contrib, ["doc_key", "e"], "left")
+            .join(dangling, ["doc_key"], "left")
+            .withColumn("c", F.coalesce("c", F.lit(0)))
+            .withColumn("dang", F.coalesce("dang", F.lit(0)))
+            .withColumn("r", F.expr(_pr_step("DIV")))
+            .select("doc_key", "e", "out_deg", "n", "r")
+            .localCheckpoint())
+    return ranks.select(
+        "doc_key", F.col("e").cast("long").alias("entity_idx"),
+        F.col("r").cast("long").alias("pagerank_ppb"))
+
+
+def kg_pagerank(spark, sf_dir):
+    """Per-document entity PageRank over the emitted triple graph —
+    exact parts-per-billion integer fixed point (see _PR_STEP note),
+    so the iterative distributed computation is bitwise-deterministic
+    at any parallelism and the oracle is the same five unrolled
+    iterations in plain DuckDB SQL over the frozen golden triples."""
+    return _pagerank_from(_persist(_triples_identity(
+        flagship_triples(spark, sf_dir, DEFAULT))))
+
+
+def _pagerank_sql() -> str:
+    """Unroll the PR_ITERS iterations as chained CTEs running the SAME
+    step expression (``_pr_step('//')`` — DuckDB's integral divide)
+    over the golden triples.  The per-iteration subquery aliases (cj,
+    dj) deliberately differ from the lateral column aliases (c, dang)
+    so the step expression resolves unambiguously."""
+    ctes = [f"""
+ed AS (
+  SELECT DISTINCT doc_key, head_idx AS src, tail_idx AS dst
+  FROM tr WHERE head_idx <> tail_idx),
+nr AS (
+  SELECT DISTINCT doc_key, e FROM (
+    SELECT doc_key, src AS e FROM ed
+    UNION ALL SELECT doc_key, dst AS e FROM ed)),
+nd AS (
+  SELECT nr.doc_key, nr.e, COALESCE(od.out_deg, 0) AS out_deg, dn.n
+  FROM nr
+  JOIN (SELECT doc_key, COUNT(*) AS n FROM nr GROUP BY doc_key) dn
+    ON dn.doc_key = nr.doc_key
+  LEFT JOIN (SELECT doc_key, src AS e, COUNT(*) AS out_deg
+             FROM ed GROUP BY doc_key, src) od
+    ON od.doc_key = nr.doc_key AND od.e = nr.e),
+r0 AS (
+  SELECT doc_key, e, out_deg, n, {PR_SCALE} // n AS r FROM nd)"""]
+    step = _pr_step("//", c="COALESCE(cj.c, 0)",
+                    dang="COALESCE(dj.dang, 0)")
+    for i in range(PR_ITERS):
+        ctes.append(f"""
+r{i + 1} AS (
+  SELECT nd.doc_key, nd.e, nd.out_deg, nd.n,
+         {step} AS r
+  FROM nd
+  LEFT JOIN (SELECT ed.doc_key, ed.dst AS e,
+                    SUM(p.r // p.out_deg) AS c
+             FROM ed JOIN r{i} p
+               ON p.doc_key = ed.doc_key AND p.e = ed.src
+             GROUP BY ed.doc_key, ed.dst) cj
+    ON cj.doc_key = nd.doc_key AND cj.e = nd.e
+  LEFT JOIN (SELECT doc_key, SUM(r) AS dang FROM r{i}
+             WHERE out_deg = 0 GROUP BY doc_key) dj
+    ON dj.doc_key = nd.doc_key)""")
+    return _golden_triples_derived(
+        ", " + ",".join(ctes) + f"""
+SELECT doc_key, CAST(e AS BIGINT) AS entity_idx,
+       CAST(r AS BIGINT) AS pagerank_ppb
+FROM r{PR_ITERS}
+""")
+
+
+KG_PAGERANK_SQL = _pagerank_sql()
+
+
 _TRIPLE_COLS = ["doc_key", "head_idx", "tail_idx", "rel_type",
                 "head_type", "tail_type", "head_key", "tail_key"]
 
@@ -320,4 +547,6 @@ QUERIES = {
     "kg_entity_degree": (kg_entity_degree, KG_ENTITY_DEGREE_SQL),
     "kg_twohop": (kg_twohop, KG_TWOHOP_SQL),
     "kg_rel_profile": (kg_rel_profile, KG_REL_PROFILE_SQL),
+    "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
+    "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
 }
