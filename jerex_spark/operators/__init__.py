@@ -4,8 +4,9 @@
 
 aggregated by :func:`all_queries` for ``__spark_entry__``.  Oracle SQL
 runs on DuckDB views named after the driver's parquet tables; a None
-oracle marks a genuinely non-SQL-expressible operator (driver records
-a rows-only check).
+oracle would mark a genuinely non-SQL-expressible operator (driver
+records a rows-only check) — as of round 5 every registered query has
+a real oracle (the approximate ANN queries via frozen golden rows).
 """
 
 from __future__ import annotations

@@ -77,7 +77,7 @@ FROM top WHERE rank <= {TOP_K}
 """
 
 
-# --- sign-LSH bucketing (scale path; rows-only check) --------------------
+# --- sign-LSH bucketing (scale path; golden-oracle-backed) ---------------
 def _plane_weights(p: int, dim: int = 64) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j of plane p =
     +1/-1 by parity of the first md5 nibble of 'plane{p}|{j}' — the
@@ -255,8 +255,9 @@ def _band_buckets(df, vec_col="vec", n_bands: int = None,
     bucket 2000 vectors at sf0.1, versus microseconds for the
     equivalent (rows x 64) @ (64 x planes) matmul.  This is the
     documented Pandas-UDF boundary: vectorized, no per-row Python.
-    No SQL twin needed — only the approximate rows-only queries
-    (lsh_topk, embdup_cosine_lsh) consume these buckets."""
+    No SQL twin needed — the approximate queries consuming these
+    buckets (lsh_topk, embdup_cosine_lsh) are oracle-checked against
+    frozen golden rows (scripts/golden_ann.py), not via live SQL."""
     from pyspark.sql.functions import pandas_udf
 
     n_bands = N_BANDS if n_bands is None else n_bands
