@@ -528,6 +528,100 @@ FROM r{PR_ITERS}
 KG_PAGERANK_SQL = _pagerank_sql()
 
 
+# Label propagation operating point: LPA_ITERS synchronous rounds,
+# each node adopting its neighbors' most frequent label with ties
+# broken by the smaller label — the deterministic variant of
+# Raghavan et al. 2007 (async random-order LPA is not reproducible;
+# synchronous min-tie-break is exact integer arithmetic, so Spark at
+# any parallelism, DuckDB, and a driver loop all compute identical
+# labels).
+LPA_ITERS = 4
+
+
+def _communities_from(t):
+    """LPA_ITERS synchronous label-propagation rounds over the
+    per-document undirected entity graphs of a triple-identity
+    DataFrame.  Same iterative-driver-loop pattern as
+    :func:`_pagerank_from`: per-round ``localCheckpoint`` truncates
+    the lineage (each round references the previous labels once in a
+    join, and without truncation the plan nests a copy of the full
+    extract subtree per round).  Every stage is keyed
+    (doc_key, entity): the per-node argmax is a window partitioned on
+    that key — never a global window — so at 100 TB each document's
+    subgraph stays partition-local and a round costs one co-partitioned
+    join + groupBy + per-key top-1."""
+    from pyspark.sql.window import Window
+    nz = t.filter(F.col("head_idx") != F.col("tail_idx"))
+    ed = (nz.select("doc_key", F.col("head_idx").alias("e"),
+                    F.col("tail_idx").alias("nbr"))
+          .unionByName(
+              nz.select("doc_key", F.col("tail_idx").alias("e"),
+                        F.col("head_idx").alias("nbr")))
+          .distinct().localCheckpoint())
+    labels = (ed.select("doc_key", "e").distinct()
+              .withColumn("lbl", F.col("e")))
+    w = Window.partitionBy("doc_key", "e").orderBy(
+        F.col("cnt").desc(), F.col("lbl").asc())
+    for _ in range(LPA_ITERS):
+        labels = (
+            ed.join(labels.select("doc_key", F.col("e").alias("nbr"),
+                                  "lbl"),
+                    ["doc_key", "nbr"])
+            .groupBy("doc_key", "e", "lbl").agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_key", "e", "lbl")
+            .localCheckpoint())
+    return labels.select(
+        "doc_key", F.col("e").cast("long").alias("entity_idx"),
+        F.col("lbl").cast("long").alias("community"))
+
+
+def kg_communities(spark, sf_dir):
+    """(doc_key, entity_idx, community): entity communities within each
+    document's undirected triple graph by synchronous min-tie-break
+    label propagation — the community-detection primitive of KG
+    curation (entity-cluster sanity checks, per-topic subgraph
+    extraction).  Exact-integer trajectory (see LPA note), so the
+    oracle is the same LPA_ITERS rounds unrolled as DuckDB CTEs over
+    the frozen golden triples."""
+    return _communities_from(_persist(_triples_identity(
+        flagship_triples(spark, sf_dir, DEFAULT))))
+
+
+def _communities_sql() -> str:
+    ctes = ["""
+edn AS (
+  SELECT DISTINCT doc_key, e, nbr FROM (
+    SELECT doc_key, head_idx AS e, tail_idx AS nbr
+    FROM tr WHERE head_idx <> tail_idx
+    UNION ALL
+    SELECT doc_key, tail_idx AS e, head_idx AS nbr
+    FROM tr WHERE head_idx <> tail_idx)),
+l0 AS (SELECT DISTINCT doc_key, e, e AS lbl FROM edn)"""]
+    for i in range(LPA_ITERS):
+        ctes.append(f"""
+l{i + 1} AS (
+  SELECT doc_key, e, lbl FROM (
+    SELECT doc_key, e, lbl,
+           ROW_NUMBER() OVER (PARTITION BY doc_key, e
+                              ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM (SELECT edn.doc_key, edn.e, p.lbl, COUNT(*) AS cnt
+          FROM edn JOIN l{i} p
+            ON p.doc_key = edn.doc_key AND p.e = edn.nbr
+          GROUP BY edn.doc_key, edn.e, p.lbl))
+  WHERE rn = 1)""")
+    return _golden_triples_derived(
+        ", " + ",".join(ctes) + f"""
+SELECT doc_key, CAST(e AS BIGINT) AS entity_idx,
+       CAST(lbl AS BIGINT) AS community
+FROM l{LPA_ITERS}
+""")
+
+
+KG_COMMUNITIES_SQL = _communities_sql()
+
+
 _TRIPLE_COLS = ["doc_key", "head_idx", "tail_idx", "rel_type",
                 "head_type", "tail_type", "head_key", "tail_key"]
 
@@ -549,4 +643,5 @@ QUERIES = {
     "kg_rel_profile": (kg_rel_profile, KG_REL_PROFILE_SQL),
     "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
+    "kg_communities": (kg_communities, KG_COMMUNITIES_SQL),
 }

@@ -517,6 +517,64 @@ def ivf_topk(spark, sf_dir, top_k: int = TOP_K,
                     F.round("cos6", 4).alias("cos"), "rank"))
 
 
+# --- int8 scalar quantization (ANN storage compression) -----------------
+def emb_quantize(spark, sf_dir):
+    """(vec_id, n_dims, q_sum, q_nonzero, q_head): per-vector uint8
+    scalar quantization — the storage form an ANN index keeps at scale
+    (4x smaller than f32; IVF/LSH distances tolerate it).  Each vector
+    is min-max quantized to ``q_i = floor((x_i - lo) * 255 / (hi -
+    lo))`` clamped to [0, 255] (constant vectors -> all zeros), with
+    integer summaries emitted: element sum, nonzero count, and the
+    first 8 codes as a csv string.
+
+    Cross-engine determinism: every arithmetic step is ELEMENTWISE
+    IEEE double with identical operand bits and op order (the f32
+    parquet values cast exactly to double; no reduction reorders fp),
+    so Spark and DuckDB produce identical codes and the summaries are
+    pure integers.  Pure Catalyst array expressions, no Python: embeds
+    in whole-stage codegen and needs no shuffle at all."""
+    d = (_emb(spark, sf_dir)
+         .withColumn("lo", F.array_min("vec"))
+         .withColumn("hi", F.array_max("vec"))
+         .withColumn("q", F.expr(
+             "transform(vec, x -> CASE WHEN hi = lo THEN CAST(0 AS BIGINT)"
+             " ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),"
+             " CAST(floor(((x - lo) * CAST(255 AS DOUBLE)) / (hi - lo))"
+             " AS BIGINT))) END)")))
+    return d.select(
+        "vec_id",
+        F.size("vec").cast("long").alias("n_dims"),
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        .alias("q_sum"),
+        F.size(F.filter("q", lambda x: x > 0)).cast("long")
+        .alias("q_nonzero"),
+        F.concat_ws(",", F.transform(F.slice("q", 1, 8),
+                                     lambda x: x.cast("string")))
+        .alias("q_head"))
+
+
+EMB_QUANTIZE_SQL = """
+WITH b AS (
+  SELECT vec_id, vec, list_min(vec) AS lo, list_max(vec) AS hi
+  FROM (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings)),
+q AS (
+  SELECT vec_id, len(vec) AS n_dims,
+         list_transform(vec, x ->
+           CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                ELSE LEAST(CAST(255 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+                     CAST(floor(((x - lo) * CAST(255 AS DOUBLE))
+                                / (hi - lo)) AS BIGINT))) END) AS ql
+  FROM b)
+SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+       COALESCE(CAST(list_sum(ql) AS BIGINT), 0) AS q_sum,
+       CAST(len(list_filter(ql, x -> x > 0)) AS BIGINT) AS q_nonzero,
+       array_to_string(ql[1:8], ',') AS q_head
+FROM q
+"""
+
+
 from .golden import golden_emb_sql as _golden_emb_sql
 
 _ANN_COLS = ["query_id", "neighbor_id", "cos", "rank"]
@@ -524,6 +582,7 @@ _ANN_COLS = ["query_id", "neighbor_id", "cos", "rank"]
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "lsh_bucket_ann": (lsh_bucket_ann, LSH_BUCKET_SQL),
+    "emb_quantize": (emb_quantize, EMB_QUANTIZE_SQL),
     # approximate by construction but deterministic at a fixed corpus:
     # oracle = frozen golden rows from the independent numpy
     # implementation (scripts/golden_ann.py), selected by the

@@ -447,6 +447,57 @@ FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.tok_idx < b.tok_idx
 """
 
 
+# --- tf-idf distinctive terms: per-doc top-k by (tf DESC, df ASC) -------
+TFIDF_TOPK_K = 3
+
+
+def tfidf_topk(spark, sf_dir, k: int = TFIDF_TOPK_K):
+    """(doc_id, term, tf, df, rank): each document's ``k`` most
+    distinctive whitespace terms under the integer tf-idf dominance
+    order — term frequency DESC, then document frequency ASC (rarer
+    wins), then term ASC.  This is the ordering tf·idf induces at equal
+    tf (idf is strictly decreasing in df); the fp idf value itself is
+    deliberately NOT emitted — ln() is not reproducible bitwise across
+    engines, and the consumer can compute any idf variant from the
+    exact (tf, df, corpus size) integers this row carries.
+
+    Plan: one partial-aggregable groupBy for tf, one for df (both
+    shuffle on bounded-cardinality keys), an equi-join on term, and a
+    per-doc top-k window PARTITIONED BY doc_id — never a global
+    window/sort, so at 100 TB the per-doc heap stays partition-local
+    and the df table scales with the vocabulary, not the corpus."""
+    from pyspark.sql.window import Window
+    tf = (_docs(spark, sf_dir)
+          .select("doc_id", F.explode(_toks()).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    # tf rows are distinct (doc, term), so df = row count per term
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (tf.join(df_, "term")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "df",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+TFIDF_TOPK_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY doc_id, term),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
+FROM (SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfr.df ASC,
+                                         tf.term ASC) AS rank
+      FROM tf JOIN dfr USING (term))
+WHERE rank <= {TFIDF_TOPK_K}
+"""
+
+
 QUERIES = {
     "p1_span_candidates": (p1_span_candidates, P1_COUNT_SQL),
     "j1_coref_pairs_rel": (j1_coref_pairs_rel, J1_SQL),
@@ -455,6 +506,7 @@ QUERIES = {
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
+    "tfidf_topk": (tfidf_topk, TFIDF_TOPK_SQL),
     "langid_ngram": (langid_ngram, _langid_sql()),
     "fingerprint_bottomk": (fingerprint_bottomk, FINGERPRINT_SQL),
     "simhash32": (simhash32, SIMHASH_SQL),

@@ -98,7 +98,8 @@ def main():
     spark = build_session(app="scale-probe", master="local[32]")
     qs = all_queries()
     family = ("kg_triples", "kg_entity_degree", "kg_twohop",
-              "kg_triangles", "kg_pagerank",
+              "kg_triangles", "kg_pagerank", "kg_communities",
+              "tfidf_topk",
               "dedup_exact", "minhash_lsh_pairs",
               "dedup_lsh_verified", "dedup_components", "corpus_curation",
               "canon_gazetteer", "lsh_topk", "ivf_topk",
