@@ -622,6 +622,175 @@ FROM l{LPA_ITERS}
 KG_COMMUNITIES_SQL = _communities_sql()
 
 
+# k-core operating point: KCORE_ROUNDS rounds of degree-K pruning
+# (Seidman 1983 coreness, iterated a fixed depth like the other
+# kernels here — full fixpoint peeling has a data-dependent round
+# count, which a cross-engine oracle can't unroll; on the small
+# per-document graphs this pipeline emits, 3 rounds converges).
+# Pure integer arithmetic, so Spark at any parallelism, DuckDB, and a
+# driver loop compute identical survivor sets.
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _kcore_from(t):
+    """KCORE_ROUNDS rounds of K-core pruning over the per-document
+    undirected entity graphs of a triple-identity DataFrame: each
+    round drops every node with degree < K and every edge touching
+    one, via two left-semi joins against the surviving-node set.
+    Same driver-loop + per-round ``localCheckpoint`` pattern as
+    :func:`_pagerank_from` (each round references the edge table
+    twice — degree count + endpoint filter — so lineage would double
+    per round otherwise).  All stages keyed (doc_key, node): at
+    100 TB each document's subgraph stays partition-local and a round
+    costs one groupBy plus two co-partitioned semi-joins."""
+    nz = t.filter(F.col("head_idx") != F.col("tail_idx"))
+    ed = (nz.select("doc_key", F.col("head_idx").alias("e"),
+                    F.col("tail_idx").alias("nbr"))
+          .unionByName(
+              nz.select("doc_key", F.col("tail_idx").alias("e"),
+                        F.col("head_idx").alias("nbr")))
+          .distinct().localCheckpoint())
+    for _ in range(KCORE_ROUNDS):
+        keep = (ed.groupBy("doc_key", "e")
+                .agg(F.count("*").alias("deg"))
+                .filter(F.col("deg") >= KCORE_K)
+                .select("doc_key", "e"))
+        ed = (ed.join(keep, ["doc_key", "e"], "left_semi")
+              .join(keep.select("doc_key", F.col("e").alias("nbr")),
+                    ["doc_key", "nbr"], "left_semi")
+              .localCheckpoint())
+    return (ed.groupBy("doc_key", "e")
+            .agg(F.count("*").alias("deg"))
+            .select("doc_key",
+                    F.col("e").cast("long").alias("entity_idx"),
+                    F.col("deg").cast("long").alias("core_deg")))
+
+
+def kg_kcore(spark, sf_dir):
+    """(doc_key, entity_idx, core_deg): the 2-core of each document's
+    undirected triple graph after KCORE_ROUNDS pruning rounds, with
+    each survivor's residual degree — the dense-subgraph filter of KG
+    curation (strips pendant entities so hub analysis sees only
+    cyclically-supported structure).  Exact-integer trajectory, so the
+    oracle is the same rounds unrolled as DuckDB CTEs over the frozen
+    golden triples."""
+    return _kcore_from(_persist(_triples_identity(
+        flagship_triples(spark, sf_dir, DEFAULT))))
+
+
+def _kcore_sql() -> str:
+    ctes = ["""
+e0 AS (
+  SELECT DISTINCT doc_key, e, nbr FROM (
+    SELECT doc_key, head_idx AS e, tail_idx AS nbr
+    FROM tr WHERE head_idx <> tail_idx
+    UNION ALL
+    SELECT doc_key, tail_idx AS e, head_idx AS nbr
+    FROM tr WHERE head_idx <> tail_idx))"""]
+    for i in range(KCORE_ROUNDS):
+        ctes.append(f"""
+k{i} AS (
+  SELECT doc_key, e FROM e{i}
+  GROUP BY doc_key, e HAVING COUNT(*) >= {KCORE_K}),
+e{i + 1} AS (
+  SELECT ed.doc_key, ed.e, ed.nbr FROM e{i} ed
+  WHERE EXISTS (SELECT 1 FROM k{i} a
+                WHERE a.doc_key = ed.doc_key AND a.e = ed.e)
+    AND EXISTS (SELECT 1 FROM k{i} b
+                WHERE b.doc_key = ed.doc_key AND b.e = ed.nbr))""")
+    return _golden_triples_derived(
+        ", " + ",".join(ctes) + f"""
+SELECT doc_key, CAST(e AS BIGINT) AS entity_idx,
+       CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM e{KCORE_ROUNDS}
+GROUP BY doc_key, e
+""")
+
+
+KG_KCORE_SQL = _kcore_sql()
+
+
+# BFS operating point: BFS_ROUNDS frontier expansions from each
+# document's minimum entity index — hop distances are exact integers,
+# the seed choice is deterministic, and a fixed round count keeps the
+# trajectory unrollable as CTEs (same reasoning as the other kernels;
+# per-document graphs here have tiny diameters, so 3 hops saturates).
+BFS_ROUNDS = 3
+
+
+def _bfs_from(t):
+    """BFS_ROUNDS rounds of frontier expansion over the per-document
+    undirected entity graphs of a triple-identity DataFrame, seeded at
+    each document's min entity.  State = one (doc_key, e, dist) table,
+    ``localCheckpoint``-ed per round (the anti-join references it and
+    the union doubles the plan otherwise — the pattern every iterative
+    kernel in this module uses).  All stages keyed (doc_key, node):
+    partition-local per document at any corpus size."""
+    nz = t.filter(F.col("head_idx") != F.col("tail_idx"))
+    ed = (nz.select("doc_key", F.col("head_idx").alias("e"),
+                    F.col("tail_idx").alias("nbr"))
+          .unionByName(
+              nz.select("doc_key", F.col("tail_idx").alias("e"),
+                        F.col("head_idx").alias("nbr")))
+          .distinct().localCheckpoint())
+    dist = (ed.groupBy("doc_key").agg(F.min("e").alias("e"))
+            .withColumn("dist", F.lit(0)))
+    for r in range(1, BFS_ROUNDS + 1):
+        frontier = dist.filter(F.col("dist") == r - 1)
+        nxt = (frontier.join(ed, ["doc_key", "e"])
+               .select("doc_key", F.col("nbr").alias("e")).distinct()
+               .join(dist, ["doc_key", "e"], "left_anti")
+               .withColumn("dist", F.lit(r)))
+        dist = dist.unionByName(nxt).localCheckpoint()
+    return dist.select(
+        "doc_key", F.col("e").cast("long").alias("entity_idx"),
+        F.col("dist").cast("long").alias("dist"))
+
+
+def kg_bfs_dist(spark, sf_dir):
+    """(doc_key, entity_idx, dist): hop distance from each document's
+    minimum entity through its undirected triple graph, BFS_ROUNDS
+    hops — the neighborhood-radius primitive of KG curation (anchor
+    context windows, hub-locality checks).  Exact-integer trajectory,
+    so the oracle is the same rounds unrolled as DuckDB CTEs over the
+    frozen golden triples."""
+    return _bfs_from(_persist(_triples_identity(
+        flagship_triples(spark, sf_dir, DEFAULT))))
+
+
+def _bfs_sql() -> str:
+    ctes = ["""
+edn AS (
+  SELECT DISTINCT doc_key, e, nbr FROM (
+    SELECT doc_key, head_idx AS e, tail_idx AS nbr
+    FROM tr WHERE head_idx <> tail_idx
+    UNION ALL
+    SELECT doc_key, tail_idx AS e, head_idx AS nbr
+    FROM tr WHERE head_idx <> tail_idx)),
+d0 AS (
+  SELECT doc_key, MIN(e) AS e, 0 AS dist FROM edn GROUP BY doc_key)"""]
+    for r in range(1, BFS_ROUNDS + 1):
+        ctes.append(f"""
+d{r} AS (
+  SELECT doc_key, e, dist FROM d{r - 1}
+  UNION ALL
+  SELECT DISTINCT edn.doc_key, edn.nbr AS e, {r} AS dist
+  FROM edn JOIN d{r - 1} f
+    ON f.doc_key = edn.doc_key AND f.e = edn.e AND f.dist = {r - 1}
+  WHERE NOT EXISTS (SELECT 1 FROM d{r - 1} p
+                    WHERE p.doc_key = edn.doc_key AND p.e = edn.nbr))""")
+    return _golden_triples_derived(
+        ", " + ",".join(ctes) + f"""
+SELECT doc_key, CAST(e AS BIGINT) AS entity_idx,
+       CAST(dist AS BIGINT) AS dist
+FROM d{BFS_ROUNDS}
+""")
+
+
+KG_BFS_SQL = _bfs_sql()
+
+
 _TRIPLE_COLS = ["doc_key", "head_idx", "tail_idx", "rel_type",
                 "head_type", "tail_type", "head_key", "tail_key"]
 
@@ -644,4 +813,6 @@ QUERIES = {
     "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
     "kg_communities": (kg_communities, KG_COMMUNITIES_SQL),
+    "kg_kcore": (kg_kcore, KG_KCORE_SQL),
+    "kg_bfs_dist": (kg_bfs_dist, KG_BFS_SQL),
 }

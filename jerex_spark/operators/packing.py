@@ -168,7 +168,46 @@ FROM c
 """
 
 
+# --- stratified deterministic sampling ----------------------------------
+SAMPLE_SALT = ":sample:v1"
+SAMPLE_K = 20                 # docs kept per stratum
+
+
+def stratified_sample(spark, sf_dir, k: int = SAMPLE_K) -> DataFrame:
+    """(lang, doc_id, rk): a deterministic ``k``-per-language document
+    sample — each stratum ranked by md5(doc_id || salt) and truncated,
+    the retry-stable draw an eval-set builder or per-language probe
+    uses instead of rand() (same motivation as :func:`hash_split`:
+    re-running the job, at any parallelism, reproduces the exact rows;
+    adding documents never reshuffles survivors' relative order).
+
+    Scale shape: the only structure is a window PARTITIONED BY lang —
+    stratum-local top-k, no global sort; md5 is distinct per doc_id so
+    the order is total and tie-free."""
+    h = F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(SAMPLE_SALT)))
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc())
+    return (_docs(spark, sf_dir)
+            .select("lang", "doc_id", h.alias("h"))
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select("lang", "doc_id", "rk"))
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+FROM (SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '{SAMPLE_SALT}'))
+               AS rk
+      FROM documents)
+WHERE rk <= {SAMPLE_K}
+"""
+
+
 QUERIES = {
     "hash_split": (hash_split, HASH_SPLIT_SQL),
     "seq_packing": (seq_packing, SEQ_PACKING_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
 }

@@ -518,6 +518,21 @@ def ivf_topk(spark, sf_dir, top_k: int = TOP_K,
 
 
 # --- int8 scalar quantization (ANN storage compression) -----------------
+def _quantized(df):
+    """Append per-vector min-max bounds (lo, hi) and the uint8 code
+    array ``q`` (see :func:`emb_quantize` for the determinism
+    argument).  Shared by the per-vector and per-label queries so the
+    quantizer can never drift between them."""
+    return (df
+            .withColumn("lo", F.array_min("vec"))
+            .withColumn("hi", F.array_max("vec"))
+            .withColumn("q", F.expr(
+                "transform(vec, x -> CASE WHEN hi = lo THEN CAST(0 AS BIGINT)"
+                " ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),"
+                " CAST(floor(((x - lo) * CAST(255 AS DOUBLE)) / (hi - lo))"
+                " AS BIGINT))) END)")))
+
+
 def emb_quantize(spark, sf_dir):
     """(vec_id, n_dims, q_sum, q_nonzero, q_head): per-vector uint8
     scalar quantization — the storage form an ANN index keeps at scale
@@ -533,14 +548,7 @@ def emb_quantize(spark, sf_dir):
     so Spark and DuckDB produce identical codes and the summaries are
     pure integers.  Pure Catalyst array expressions, no Python: embeds
     in whole-stage codegen and needs no shuffle at all."""
-    d = (_emb(spark, sf_dir)
-         .withColumn("lo", F.array_min("vec"))
-         .withColumn("hi", F.array_max("vec"))
-         .withColumn("q", F.expr(
-             "transform(vec, x -> CASE WHEN hi = lo THEN CAST(0 AS BIGINT)"
-             " ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),"
-             " CAST(floor(((x - lo) * CAST(255 AS DOUBLE)) / (hi - lo))"
-             " AS BIGINT))) END)")))
+    d = _quantized(_emb(spark, sf_dir))
     return d.select(
         "vec_id",
         F.size("vec").cast("long").alias("n_dims"),
@@ -575,6 +583,58 @@ FROM q
 """
 
 
+def emb_centroids_q(spark, sf_dir):
+    """(label, dim, q_sum, n_vecs): per-class integer centroid of the
+    quantized embeddings — the sum of uint8 codes and the vector count
+    per (label, dimension), from which a consumer derives any centroid
+    variant exactly (mean = q_sum/n_vecs in whatever precision it
+    wants).  This is the distributed reduction an IVF-style index
+    training or per-class drift monitor runs over the code table; the
+    fp division is deliberately NOT emitted (cross-engine fp division
+    of integer sums is reproducible, but the integers are the stronger
+    contract and feed every downstream variant).
+
+    Scale shape: posexplode multiplies rows by n_dims, but the groupBy
+    key (label, dim) has bounded cardinality (classes x dims), so
+    map-side partial aggregation collapses each partition to that
+    constant-size state before the one shuffle.  Pure Catalyst."""
+    d = _quantized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("label").cast("long").alias("label"),
+                F.transform("embedding",
+                            lambda x: x.cast("double")).alias("vec")))
+    return (d.select("label", F.posexplode("q").alias("dim", "code"))
+            .groupBy("label", "dim")
+            .agg(F.sum("code").alias("q_sum"),
+                 F.count("*").alias("n_vecs"))
+            .select("label", F.col("dim").cast("long").alias("dim"),
+                    "q_sum", F.col("n_vecs").cast("long").alias("n_vecs")))
+
+
+EMB_CENTROIDS_SQL = """
+WITH b AS (
+  SELECT label, vec, list_min(vec) AS lo, list_max(vec) AS hi
+  FROM (SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings)),
+q AS (
+  SELECT label,
+         list_transform(vec, x ->
+           CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                ELSE LEAST(CAST(255 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+                     CAST(floor(((x - lo) * CAST(255 AS DOUBLE))
+                                / (hi - lo)) AS BIGINT))) END) AS ql
+  FROM b),
+c AS (
+  SELECT label, generate_subscripts(ql, 1) - 1 AS dim, unnest(ql) AS code
+  FROM q)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(code) AS BIGINT) AS q_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM c GROUP BY label, dim
+"""
+
+
 from .golden import golden_emb_sql as _golden_emb_sql
 
 _ANN_COLS = ["query_id", "neighbor_id", "cos", "rank"]
@@ -583,6 +643,7 @@ QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "lsh_bucket_ann": (lsh_bucket_ann, LSH_BUCKET_SQL),
     "emb_quantize": (emb_quantize, EMB_QUANTIZE_SQL),
+    "emb_centroids_q": (emb_centroids_q, EMB_CENTROIDS_SQL),
     # approximate by construction but deterministic at a fixed corpus:
     # oracle = frozen golden rows from the independent numpy
     # implementation (scripts/golden_ann.py), selected by the

@@ -498,6 +498,60 @@ WHERE rank <= {TFIDF_TOPK_K}
 """
 
 
+# --- BPE merge-candidate scan: corpus-weighted symbol-pair counts -------
+BPE_TOPK = 20
+
+
+def bpe_pair_counts(spark, sf_dir, k: int = BPE_TOPK):
+    """(pair, pair_count): the corpus's ``k`` most frequent adjacent
+    character pairs inside whitespace terms, each occurrence weighted
+    by the term's corpus frequency — the candidate-scoring step of one
+    BPE vocabulary-learning iteration (Sennrich et al. 2016), the op a
+    training-data pipeline runs to fit its tokenizer.
+
+    Scale shape: the pair explosion runs over the DISTINCT term table
+    (vocabulary-sized — Zipf keeps it tiny relative to the corpus)
+    with the corpus weight carried as an integer column, so corpus
+    growth only deepens the first partial-aggregable groupBy; the
+    explode and the second groupBy scale with the vocabulary.  Top-k is
+    a global orderBy+limit — Spark plans TakeOrderedAndProject
+    (per-partition heaps, no global sort/window).  Determinism: counts
+    are exact integers; the k-boundary tie-breaks by pair ASC.
+
+    Guard: ``sequence(1, n)`` in Spark DESCENDS for n < 1 (it would
+    fabricate positions for 1-char terms), so terms shorter than 2
+    chars are filtered before the explode."""
+    tf = (_docs(spark, sf_dir)
+          .select(F.explode(_toks()).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("term").agg(F.count("*").alias("tcnt")))
+    pairs = (tf.filter(F.length("term") >= 2)
+             .select("tcnt", F.explode(F.expr(
+                 "transform(sequence(1, char_length(term) - 1),"
+                 " i -> substring(term, i, 2))")).alias("pair")))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("tcnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(k))
+
+
+BPE_PAIR_SQL = f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS tcnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term),
+pr AS (
+  SELECT substring(term, unnest(generate_series(1, length(term) - 1)),
+                   2) AS pair,
+         tcnt
+  FROM tf WHERE length(term) >= 2)
+SELECT pair, CAST(SUM(tcnt) AS BIGINT) AS pair_count
+FROM pr GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_TOPK}
+"""
+
+
 QUERIES = {
     "p1_span_candidates": (p1_span_candidates, P1_COUNT_SQL),
     "j1_coref_pairs_rel": (j1_coref_pairs_rel, J1_SQL),
@@ -507,6 +561,7 @@ QUERIES = {
     "quality_score": (quality_score, QUALITY_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "tfidf_topk": (tfidf_topk, TFIDF_TOPK_SQL),
+    "bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_SQL),
     "langid_ngram": (langid_ngram, _langid_sql()),
     "fingerprint_bottomk": (fingerprint_bottomk, FINGERPRINT_SQL),
     "simhash32": (simhash32, SIMHASH_SQL),
