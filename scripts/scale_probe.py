@@ -13,7 +13,9 @@ run with NO overrides: similarity.lsh_schedule derives (bands, bits)
 from the input count, so the 10x leg exercises the default entry
 point end-to-end (bucket size n/2^bits held ~constant automatically).
 
-Usage: python scripts/scale_probe.py [out_dir]   (default /tmp/sf1)
+Usage: python scripts/scale_probe.py [out_dir] [--only q1,q2,...]
+(out_dir default /tmp/sf1; --only restricts the probe to a subset of
+the family, for probing newly added queries without re-running all).
 Prints one JSON line per family member + a summary line.
 """
 
@@ -89,7 +91,13 @@ class RssSampler(threading.Thread):
 
 def main():
     sf01 = "/root/testdata/sf0.1"
-    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    argv = [a for a in sys.argv[1:]]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    sf1 = argv[0] if argv else "/tmp/sf1"
     build_sf1(sf01, sf1)
 
     from jerex_spark.caching import release_persisted
@@ -104,7 +112,12 @@ def main():
               "dedup_exact", "minhash_lsh_pairs",
               "dedup_lsh_verified", "dedup_components", "corpus_curation",
               "canon_gazetteer", "lsh_topk", "ivf_topk",
-              "embdup_cosine_lsh")
+              "embdup_cosine_lsh", "emb_quantize")
+    if only:
+        unknown = only - set(family)
+        if unknown:
+            raise SystemExit(f"--only names not in family: {sorted(unknown)}")
+        family = tuple(n for n in family if n in only)
 
     def run(name, sf_dir):
         fn = qs[name][0]
