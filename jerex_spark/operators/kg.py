@@ -904,6 +904,304 @@ SELECT line FROM lines
 """, with_keys=True)
 
 
+# --- cross-crawl KG maintenance + training-data derivations ---------------
+# Three operators a CONTINUOUSLY-built KG needs beyond one-shot extract:
+# merging a fresh crawl into the existing triple table (the MERGE INTO
+# step of an Iceberg-backed KG), entity co-occurrence statistics (the
+# standard PMI edge-weighting signal), and corrupt-triple negative
+# sampling (the training-data generator for KG-embedding models,
+# TransE-style — Bordes et al. 2013).  Cross-doc entity identity for
+# the first two is the entity's SURFACE KEY: the sorted distinct set of
+# its (lowercased) mention phrases — the same phrase-level identity the
+# canonicalization stage (canonicalize.py) blocks on, derivable on the
+# oracle side from the committed golden mention/entity tables alone.
+
+# salt for the deterministic base/delta crawl split (kg_delta_merge)
+_DELTA_SALT = ":crawl-batch-v1"
+
+
+def _entity_surfaces(graph):
+    """(doc_key, entity_idx, surface): surface = sorted distinct
+    lowercased mention phrases joined by '|'.  One explode + one
+    equi-join + one partial-aggregable groupBy on (doc_key, entity) —
+    per-document work, no global state, safe at any corpus size."""
+    tabs = kg_tables(graph)
+    m = tabs["mentions"].select(
+        "doc_key", "mention_idx", F.lower("phrase").alias("p"))
+    e = tabs["entities"].select(
+        "doc_key", "entity_idx",
+        F.explode("mention_idxs").alias("mention_idx"))
+    return (e.join(m, ["doc_key", "mention_idx"])
+            .groupBy("doc_key", "entity_idx")
+            .agg(F.array_join(F.array_sort(F.collect_set("p")), "|")
+                 .alias("surface")))
+
+
+# DuckDB twin of _entity_surfaces over the signature-selected golden
+# tables: identity_key ("s:e|s:e") is the entity's span set, and every
+# span matches exactly one golden mention row, so membership is a
+# string equi-join.  All phrases are compared lowercased-ASCII, so the
+# ORDER BY here and Spark's array_sort agree byte-for-byte.
+def _golden_surfaces_cte() -> str:
+    return f"""
+WITH sig AS (SELECT {DOC_SIG_EXPR} AS s FROM documents),
+ent AS (
+  SELECT g.doc_key, g.entity_idx, g.identity_key
+  FROM read_parquet('{GOLDEN_GLOB}/*/golden_entities.parquet') g
+  JOIN sig ON g.corpus_sig = sig.s),
+men AS (
+  SELECT g.doc_key, g."start", g."end", g.phrase
+  FROM read_parquet('{GOLDEN_GLOB}/*/golden_mentions.parquet') g
+  JOIN sig ON g.corpus_sig = sig.s),
+tr AS (
+  SELECT g.doc_key, g.head_idx, g.tail_idx, g.rel_type
+  FROM read_parquet('{GOLDEN_GLOB}/*/golden_triples.parquet') g
+  JOIN sig ON g.corpus_sig = sig.s),
+memb AS (
+  SELECT doc_key, entity_idx,
+         unnest(string_split(identity_key, '|')) AS span
+  FROM ent),
+surfd AS (
+  SELECT DISTINCT memb.doc_key, memb.entity_idx, lower(men.phrase) AS p
+  FROM memb JOIN men ON memb.doc_key = men.doc_key
+   AND memb.span = men."start" || ':' || men."end"),
+surf AS (
+  SELECT doc_key, entity_idx, string_agg(p, '|' ORDER BY p) AS surface
+  FROM surfd GROUP BY doc_key, entity_idx)
+"""
+
+
+def kg_delta_merge(spark, sf_dir):
+    """Incremental-crawl triple merge: the corpus is split into a BASE
+    and a DELTA crawl by a deterministic md5 bucket of doc_key (the
+    same salt-hash family as hash_split), triples are lifted to
+    cross-doc identity (subj_surface, pred, obj_surface), and the two
+    batches merge into one canonical table with per-batch support,
+    total provenance, and a status verdict: ``added`` (delta only),
+    ``retained`` (seen in both), ``stale`` (base only — a candidate
+    for re-verification in a real refresh).
+
+    This is exactly the MERGE INTO an Iceberg-partitioned triple table
+    a continuously-updated KG performs each crawl: one partial-
+    aggregable groupBy on the triple identity — map-side combine does
+    the heavy lifting, no window, no driver state, so the merge scales
+    with distinct-triple count, not corpus size."""
+    from .packing import _hex4_to_int
+    graph = _persist(build_graph(load_documents(spark, sf_dir), DEFAULT))
+    surf = _entity_surfaces(graph)
+    t = (kg_tables(graph)["triples"]
+         .select("doc_key", "head_idx", "tail_idx", "rel_type"))
+    t = (t.join(surf.select("doc_key",
+                            F.col("entity_idx").alias("head_idx"),
+                            F.col("surface").alias("subj")),
+                ["doc_key", "head_idx"])
+         .join(surf.select("doc_key",
+                           F.col("entity_idx").alias("tail_idx"),
+                           F.col("surface").alias("obj")),
+               ["doc_key", "tail_idx"]))
+    is_delta = (_hex4_to_int(
+        F.md5(F.concat(F.col("doc_key"), F.lit(_DELTA_SALT)))) % 2)
+    return (t.withColumn("is_delta", is_delta)
+            .groupBy("subj", F.col("rel_type").alias("pred"), "obj")
+            .agg((F.count("*") - F.sum("is_delta")).cast("long")
+                 .alias("n_base"),
+                 F.sum("is_delta").cast("long").alias("n_delta"),
+                 F.count("*").cast("long").alias("support"),
+                 F.count_distinct("doc_key").cast("long").alias("n_docs"))
+            .withColumn("status",
+                        F.when((F.col("n_base") > 0)
+                               & (F.col("n_delta") > 0), "retained")
+                        .when(F.col("n_delta") > 0, "added")
+                        .otherwise("stale")))
+
+
+def _delta_merge_sql() -> str:
+    from .packing import _hex4_sql
+    bucket = _hex4_sql(f"md5(t.doc_key || '{_DELTA_SALT}')")
+    return _golden_surfaces_cte() + f"""
+, lifted AS (
+  SELECT t.doc_key, hs.surface AS subj, t.rel_type AS pred,
+         ts.surface AS obj, ({bucket}) % 2 AS is_delta
+  FROM tr t
+  JOIN surf hs ON hs.doc_key = t.doc_key
+              AND hs.entity_idx = t.head_idx
+  JOIN surf ts ON ts.doc_key = t.doc_key
+              AND ts.entity_idx = t.tail_idx)
+SELECT subj, pred, obj,
+       CAST(COUNT(*) - SUM(is_delta) AS BIGINT) AS n_base,
+       CAST(SUM(is_delta) AS BIGINT) AS n_delta,
+       CAST(COUNT(*) AS BIGINT) AS support,
+       CAST(COUNT(DISTINCT doc_key) AS BIGINT) AS n_docs,
+       CASE WHEN SUM(is_delta) < COUNT(*) AND SUM(is_delta) > 0
+            THEN 'retained'
+            WHEN SUM(is_delta) > 0 THEN 'added'
+            ELSE 'stale' END AS status
+FROM lifted GROUP BY subj, pred, obj
+"""
+
+
+def kg_cooccur_pmi(spark, sf_dir):
+    """Entity co-occurrence PMI over the constructed KG: for every
+    unordered pair of distinct entity surfaces appearing in the same
+    document, pmi = ln(N * c_ab / (c_a * c_b)) with N = documents
+    containing >= 1 entity — the standard association signal for
+    weighting/denoising KG edges before materialization.
+
+    Scale shape: the per-doc surface list is bounded by the mention
+    cap, so the self-join fans out quadratically only within a
+    document; pair counts partial-aggregate; the two marginal joins
+    are equi-joins on the surface key; N rides along via a crossJoin
+    with a 1-row broadcast aggregate (never a collect)."""
+    graph = _persist(build_graph(load_documents(spark, sf_dir), DEFAULT))
+    surf = _persist(_entity_surfaces(graph)
+                    .select("doc_key", "surface").distinct())
+    n = surf.select(F.count_distinct("doc_key").alias("n_corpus"))
+    ca = surf.groupBy("surface").agg(F.count("*").alias("c"))
+    pairs = (surf.alias("a")
+             .join(surf.alias("b"),
+                   [F.col("a.doc_key") == F.col("b.doc_key"),
+                    F.col("a.surface") < F.col("b.surface")])
+             .groupBy(F.col("a.surface").alias("surf_a"),
+                      F.col("b.surface").alias("surf_b"))
+             .agg(F.count("*").cast("long").alias("c_ab")))
+    return (pairs
+            .join(ca.select(F.col("surface").alias("surf_a"),
+                            F.col("c").alias("c_a")), "surf_a")
+            .join(ca.select(F.col("surface").alias("surf_b"),
+                            F.col("c").alias("c_b")), "surf_b")
+            .crossJoin(F.broadcast(n))
+            .select("surf_a", "surf_b", "c_ab",
+                    F.col("c_a").cast("long").alias("c_a"),
+                    F.col("c_b").cast("long").alias("c_b"),
+                    F.round(F.log(F.col("n_corpus") * F.col("c_ab")
+                                  / (F.col("c_a") * F.col("c_b"))), 6)
+                    .alias("pmi")))
+
+
+KG_COOCCUR_PMI_SQL = _golden_surfaces_cte() + """
+, ds AS (SELECT DISTINCT doc_key, surface FROM surf),
+n AS (SELECT COUNT(DISTINCT doc_key) AS n_corpus FROM ds),
+ca AS (SELECT surface, COUNT(*) AS c FROM ds GROUP BY surface),
+pairs AS (
+  SELECT a.surface AS surf_a, b.surface AS surf_b, COUNT(*) AS c_ab
+  FROM ds a JOIN ds b
+    ON a.doc_key = b.doc_key AND a.surface < b.surface
+  GROUP BY a.surface, b.surface)
+SELECT p.surf_a, p.surf_b, CAST(p.c_ab AS BIGINT) AS c_ab,
+       CAST(ha.c AS BIGINT) AS c_a, CAST(hb.c AS BIGINT) AS c_b,
+       ROUND(ln(n.n_corpus * p.c_ab / (ha.c * hb.c)), 6) AS pmi
+FROM pairs p
+JOIN ca ha ON ha.surface = p.surf_a
+JOIN ca hb ON hb.surface = p.surf_b
+CROSS JOIN n
+"""
+
+
+def kg_neg_samples(spark, sf_dir):
+    """Corrupt-triple negative sampling for KG-embedding training
+    (TransE-style, Bordes et al. 2013): every emitted triple yields
+    two negatives — head-corrupted and tail-corrupted — with the
+    replacement entity drawn DETERMINISTICALLY and uniformly from the
+    document's other entities via the sample-from-(n-1)-then-skip
+    trick: r = md5-bucket % (n_ent - 1); replacement = r if r < orig
+    else r + 1.  ``is_false_negative`` flags corrupted triples that
+    collide with a real positive (the 'filtered setting' every KG-
+    embedding eval needs).  Docs with a single entity have no valid
+    corruption and emit nothing.
+
+    Scale shape: pure per-row hash math plus one broadcast-sized
+    per-doc entity-count join and one left anti-style equi-join back
+    to the positives on (doc, h, t, rel) — shuffle keys are the
+    triple identity, partial-agg free, no window, no Python."""
+    from .packing import _hex4_to_int
+    graph = _persist(build_graph(load_documents(spark, sf_dir), DEFAULT))
+    ne = (kg_tables(graph)["entities"]
+          .groupBy("doc_key").agg(F.count("*").alias("n_ent")))
+    t = (kg_tables(graph)["triples"]
+         .select("doc_key",
+                 F.col("head_idx").cast("long").alias("head_idx"),
+                 F.col("tail_idx").cast("long").alias("tail_idx"),
+                 "rel_type")
+         .join(ne, "doc_key").filter(F.col("n_ent") >= 2))
+    t = _persist(t)
+
+    def corrupt(orig_col: str, tag: str):
+        h = _hex4_to_int(F.md5(F.concat_ws(
+            ":", F.col("doc_key"),
+            F.col("head_idx").cast("string"),
+            F.col("tail_idx").cast("string"),
+            F.col("rel_type"), F.lit(tag))))
+        r = h % (F.col("n_ent") - 1)
+        return (F.when(r < F.col(orig_col), r).otherwise(r + 1)
+                .cast("long"))
+
+    neg_h = t.select(
+        "doc_key", "head_idx", "tail_idx", "rel_type",
+        F.lit("head").alias("corrupted"),
+        corrupt("head_idx", "h").alias("neg_head_idx"),
+        F.col("tail_idx").alias("neg_tail_idx"))
+    neg_t = t.select(
+        "doc_key", "head_idx", "tail_idx", "rel_type",
+        F.lit("tail").alias("corrupted"),
+        F.col("head_idx").alias("neg_head_idx"),
+        corrupt("tail_idx", "t").alias("neg_tail_idx"))
+    pos = t.select(F.col("doc_key").alias("_pd"),
+                   F.col("head_idx").alias("_ph"),
+                   F.col("tail_idx").alias("_pt"),
+                   F.col("rel_type").alias("_pr"))
+    return (neg_h.unionByName(neg_t)
+            .join(pos,
+                  (F.col("doc_key") == F.col("_pd"))
+                  & (F.col("neg_head_idx") == F.col("_ph"))
+                  & (F.col("neg_tail_idx") == F.col("_pt"))
+                  & (F.col("rel_type") == F.col("_pr")), "left")
+            .select("doc_key", "head_idx", "tail_idx", "rel_type",
+                    "corrupted", "neg_head_idx", "neg_tail_idx",
+                    F.col("_ph").isNotNull().alias("is_false_negative")))
+
+
+def _neg_samples_sql() -> str:
+    from .packing import _hex4_sql
+
+    def bucket(tag: str) -> str:
+        return _hex4_sql(
+            "md5(t.doc_key || ':' || CAST(t.head_idx AS VARCHAR)"
+            " || ':' || CAST(t.tail_idx AS VARCHAR)"
+            f" || ':' || t.rel_type || ':{tag}')")
+
+    def repl(orig: str, tag: str) -> str:
+        return (f"CASE WHEN ({bucket(tag)}) % (ne.n_ent - 1) < {orig}"
+                f" THEN ({bucket(tag)}) % (ne.n_ent - 1)"
+                f" ELSE ({bucket(tag)}) % (ne.n_ent - 1) + 1 END")
+
+    return _golden_surfaces_cte() + f"""
+, ne AS (SELECT doc_key, COUNT(*) AS n_ent FROM ent GROUP BY doc_key),
+base AS (
+  SELECT t.doc_key, t.head_idx, t.tail_idx, t.rel_type, ne.n_ent
+  FROM tr t JOIN ne ON ne.doc_key = t.doc_key WHERE ne.n_ent >= 2),
+negs AS (
+  SELECT t.doc_key, t.head_idx, t.tail_idx, t.rel_type,
+         'head' AS corrupted,
+         CAST({repl('t.head_idx', 'h')} AS BIGINT) AS neg_head_idx,
+         CAST(t.tail_idx AS BIGINT) AS neg_tail_idx
+  FROM base t JOIN ne ON ne.doc_key = t.doc_key
+  UNION ALL
+  SELECT t.doc_key, t.head_idx, t.tail_idx, t.rel_type,
+         'tail' AS corrupted,
+         CAST(t.head_idx AS BIGINT) AS neg_head_idx,
+         CAST({repl('t.tail_idx', 't')} AS BIGINT) AS neg_tail_idx
+  FROM base t JOIN ne ON ne.doc_key = t.doc_key)
+SELECT n.doc_key, CAST(n.head_idx AS BIGINT) AS head_idx,
+       CAST(n.tail_idx AS BIGINT) AS tail_idx, n.rel_type, n.corrupted,
+       n.neg_head_idx, n.neg_tail_idx,
+       (p.head_idx IS NOT NULL) AS is_false_negative
+FROM negs n
+LEFT JOIN tr p
+  ON p.doc_key = n.doc_key AND p.head_idx = n.neg_head_idx
+ AND p.tail_idx = n.neg_tail_idx AND p.rel_type = n.rel_type
+"""
+
+
 _TRIPLE_COLS = ["doc_key", "head_idx", "tail_idx", "rel_type",
                 "head_type", "tail_type", "head_key", "tail_key"]
 
@@ -929,4 +1227,7 @@ QUERIES = {
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "kg_bfs_dist": (kg_bfs_dist, KG_BFS_SQL),
     "kg_ntriples": (kg_ntriples, KG_NTRIPLES_SQL),
+    "kg_delta_merge": (kg_delta_merge, _delta_merge_sql()),
+    "kg_cooccur_pmi": (kg_cooccur_pmi, KG_COOCCUR_PMI_SQL),
+    "kg_neg_samples": (kg_neg_samples, _neg_samples_sql()),
 }
