@@ -27,6 +27,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # headline queries: the flagship KG extract + the heaviest scale ops
 BENCH_QUERIES = (
     "kg_triples",
+    "kg_delta_merge",
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "dedup_lsh_verified",
