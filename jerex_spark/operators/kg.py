@@ -1202,6 +1202,79 @@ LEFT JOIN tr p
 """
 
 
+def kg_surface_components(spark, sf_dir):
+    """Cross-document entity resolution over the constructed KG:
+    surfaces (cross-doc entity identities — see _entity_surfaces)
+    sharing ANY lowercased phrase alias are transitively clustered,
+    and every surface gets a canonical representative (the cluster's
+    minimum surface) — the blocking + transitive-closure step that
+    turns per-document entities into corpus-level KG nodes, composing
+    with canon_gazetteer's per-form verdicts.
+
+    Scale shape: blocking is phrase-exact, never all-pairs, and each
+    phrase block contributes STAR edges (every member -> the block's
+    minimum surface) instead of the C(k,2) clique — closure-identical
+    (a star spans the block) and linear in block size, so a viral
+    alias shared by 10^6 entities costs 10^6 edges, not 10^11.  The
+    closure itself is components.connected_components: exact driver
+    union-find under the bounded-edge cap, the O(log n) large/small-
+    star alternation past it."""
+    from .components import connected_components
+    graph = _persist(build_graph(load_documents(spark, sf_dir), DEFAULT))
+    surf = _persist(_entity_surfaces(graph)
+                    .select("surface").distinct())
+    memb = _persist(surf.select(
+        "surface", F.explode(F.split("surface", r"\|")).alias("p")))
+    # min-per-block as groupBy + equi-join, NOT a window: a window
+    # funnels a viral alias's whole block through one task, while the
+    # groupBy partial-aggregates map-side and AQE handles join skew
+    reps = memb.groupBy("p").agg(F.min("surface").alias("rep"))
+    star = (memb.join(reps, "p")
+            .filter(F.col("surface") != F.col("rep"))
+            .select(F.col("rep").alias("sa"),
+                    F.col("surface").alias("sb"))
+            .distinct())
+    from pyspark.sql import Window
+    comp = connected_components(star, "sa", "sb")
+    labeled = (surf.join(comp, F.col("surface") == F.col("id"), "left")
+               .select("surface",
+                       F.coalesce("component", "surface")
+                       .alias("canonical")))
+    w = Window.partitionBy("canonical")
+    return labeled.select(
+        "surface", "canonical",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col("surface") == F.col("canonical")).alias("is_canonical"))
+
+
+# The min-per-phrase-block window is a plain GROUP BY in the oracle;
+# the recursive closure mirrors components.DEDUP_COMPONENTS_SQL.
+KG_SURFACE_COMPONENTS_SQL = _golden_surfaces_cte() + """
+, s AS (SELECT DISTINCT surface FROM surf),
+amemb AS (
+  SELECT surface, unnest(string_split(surface, '|')) AS p FROM s),
+reps AS (SELECT p, MIN(surface) AS rep FROM amemb GROUP BY p),
+star AS (
+  SELECT DISTINCT r.rep AS sa, m.surface AS sb
+  FROM amemb m JOIN reps r ON r.p = m.p WHERE m.surface <> r.rep),
+edges AS (SELECT sa AS u, sb AS v FROM star
+          UNION SELECT sb, sa FROM star),
+reach AS (
+  WITH RECURSIVE walk(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, walk.r FROM edges e JOIN walk ON walk.id = e.v)
+  SELECT id, MIN(r) AS component FROM walk GROUP BY id),
+labeled AS (
+  SELECT s.surface, COALESCE(c.component, s.surface) AS canonical
+  FROM s LEFT JOIN reach c ON c.id = s.surface)
+SELECT surface, canonical,
+       COUNT(*) OVER (PARTITION BY canonical) AS cluster_size,
+       surface = canonical AS is_canonical
+FROM labeled
+"""
+
+
 _TRIPLE_COLS = ["doc_key", "head_idx", "tail_idx", "rel_type",
                 "head_type", "tail_type", "head_key", "tail_key"]
 
@@ -1230,4 +1303,6 @@ QUERIES = {
     "kg_delta_merge": (kg_delta_merge, _delta_merge_sql()),
     "kg_cooccur_pmi": (kg_cooccur_pmi, KG_COOCCUR_PMI_SQL),
     "kg_neg_samples": (kg_neg_samples, _neg_samples_sql()),
+    "kg_surface_components": (kg_surface_components,
+                              KG_SURFACE_COMPONENTS_SQL),
 }

@@ -85,6 +85,29 @@ def test_neg_samples_two_per_triple_and_filtered_flag(spark, sf0001,
     assert set(by_triple) <= pos
 
 
+def test_surface_components_resolution(spark, sf0001):
+    from jerex_spark.operators.kg import kg_surface_components
+    rows = kg_surface_components(spark, sf0001).collect()
+    assert rows
+    by_cluster: dict[str, list] = {}
+    for r in rows:
+        assert r.canonical <= r.surface  # canonical = min member
+        assert r.is_canonical == (r.surface == r.canonical)
+        by_cluster.setdefault(r.canonical, []).append(r)
+    for canon, members in by_cluster.items():
+        assert all(m.cluster_size == len(members) for m in members)
+        assert canon in {m.surface for m in members}
+        if len(members) > 1:
+            # connectivity witness: every member shares an alias with
+            # some other member (necessary condition of the closure)
+            for m in members:
+                aliases = set(m.surface.split("|"))
+                assert any(aliases & set(o.surface.split("|"))
+                           for o in members if o.surface != m.surface)
+    # singletons with a unique alias set stay singleton clusters
+    assert any(len(v) == 1 for v in by_cluster.values())
+
+
 def test_cooccur_pmi_marginals(spark, sf0001):
     rows = kg_cooccur_pmi(spark, sf0001).collect()
     assert rows
