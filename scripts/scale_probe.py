@@ -108,7 +108,8 @@ def main():
     family = ("kg_triples", "kg_entity_degree", "kg_twohop",
               "kg_triangles", "kg_pagerank", "kg_communities",
               "kg_kcore", "kg_bfs_dist", "kg_delta_merge",
-              "kg_cooccur_pmi", "kg_neg_samples", "tfidf_topk",
+              "kg_cooccur_pmi", "kg_neg_samples",
+              "kg_surface_components", "tfidf_topk",
               "bpe_pair_counts", "emb_centroids_q", "stratified_sample",
               "dedup_exact", "minhash_lsh_pairs",
               "dedup_lsh_verified", "dedup_components", "corpus_curation",
