@@ -16,7 +16,11 @@ continuously-maintained KG needs:
   capped surface sample) and every microbatch emits the updated row.
   This is the custom stateful operator pattern (Arrow-batched per-key
   state, executor-local, checkpointable) — the streaming twin of
-  graph.canonical_entity_table.
+  graph.canonical_entity_table;
+* :func:`streaming_triple_merge` — a continuously-maintained canonical
+  TRIPLE table keyed by (subj, pred, obj): running support, batch
+  count, first-seen doc, capped provenance — the streaming twin of
+  operators.kg.kg_delta_merge (every microbatch is the crawl delta).
 
 Scale notes: state is keyed by canonical_id and lives in the state
 store partition that owns the key, so hot entities update in one task
@@ -103,6 +107,69 @@ def streaming_entity_rollup(canon_mentions: DataFrame) -> DataFrame:
                 _rollup_update,
                 outputStructType=ROLLUP_OUTPUT_SCHEMA,
                 stateStructType=ROLLUP_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# --- continuously-maintained canonical triple table ----------------------
+TRIPLE_MERGE_OUTPUT_SCHEMA = (
+    "subj string, pred string, obj string, support long, "
+    "n_batches long, first_seen string, provenance array<string>")
+TRIPLE_MERGE_STATE_SCHEMA = (
+    "support long, n_batches long, first_seen string, "
+    "provenance array<string>")
+MAX_PROVENANCE = 20
+
+
+def _triple_merge_update(key: tuple, pdfs: Iterable[pd.DataFrame],
+                         state: GroupState) -> Iterator[pd.DataFrame]:
+    """Fold one microbatch's occurrences of one (subj, pred, obj) into
+    the running state; emit the refreshed canonical row.  Provenance
+    keeps the lexicographically-lowest MAX_PROVENANCE doc_keys —
+    bounded state per key no matter how hot the triple."""
+    n_new = 0
+    docs: set = set()
+    for pdf in pdfs:
+        n_new += len(pdf)
+        docs.update(pdf["doc_key"].dropna())
+    if state.exists:
+        support, n_batches, first_seen, old_prov = state.get
+        docs.update(old_prov)
+    else:
+        support, n_batches, first_seen = 0, 0, None
+    support += n_new
+    n_batches += 1
+    lo = min(docs) if docs else None
+    if first_seen is None or (lo is not None and lo < first_seen):
+        first_seen = lo
+    prov = sorted(docs)[:MAX_PROVENANCE]
+    state.update((support, n_batches, first_seen, prov))
+    yield pd.DataFrame({
+        "subj": [key[0]], "pred": [key[1]], "obj": [key[2]],
+        "support": [support], "n_batches": [n_batches],
+        "first_seen": [first_seen], "provenance": [prov]})
+
+
+def streaming_triple_merge(triples: DataFrame) -> DataFrame:
+    """Triples stream (subj, pred, obj, doc_key) -> continuously-
+    maintained canonical triple table: per-identity running support,
+    batch count, first-seen doc, and a capped provenance sample — the
+    streaming twin of ``operators.kg.kg_delta_merge`` (there the crawl
+    delta is a batch MERGE; here every microbatch IS the delta).
+
+    Same scale shape as the entity rollup: state keyed by the triple
+    identity, O(MAX_PROVENANCE) bytes per key, update-mode output so
+    the sink (an Iceberg MERGE INTO upsert in production) receives one
+    refreshed row per touched identity per microbatch.  Streaming-only
+    by Spark's design (applyInPandasWithState raises
+    UnsupportedOperationException on a static DataFrame) — the batch
+    backfill path is operators.kg.kg_delta_merge itself."""
+    return (triples
+            .groupBy("subj", "pred", "obj")
+            .applyInPandasWithState(
+                _triple_merge_update,
+                outputStructType=TRIPLE_MERGE_OUTPUT_SCHEMA,
+                stateStructType=TRIPLE_MERGE_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
