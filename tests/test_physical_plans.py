@@ -163,3 +163,24 @@ def test_ann_joins_never_build_the_corpus_side(spark, sf001):
     head = plan.split("ShuffledHashJoin", 1)
     assert len(head) == 2, "band self-join lost its shuffle-hash shape"
     assert "bucket" in head[1].splitlines()[0]
+
+
+def test_kg_maintenance_plans(spark, sf001):
+    """The KG-maintenance queries keep the shapes a 100 TB merge needs:
+    the extract graph is persisted and REUSED across the surface/triple
+    branches (InMemoryTableScan, not a re-run of the mapInPandas
+    subtree per branch), the merge groupBy partial-aggregates
+    map-side, and the PMI corpus count rides along as a 1-row
+    broadcast, never a collect.  Plan construction only — no jobs."""
+    from jerex_spark.operators.kg import kg_cooccur_pmi, kg_delta_merge
+
+    plan = _plan(kg_delta_merge(spark, sf001))
+    assert "InMemoryTableScan" in plan          # persisted graph reused
+    # partial + final HashAggregate pair on the merge key
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+    plan = _plan(kg_cooccur_pmi(spark, sf001))
+    assert "InMemoryTableScan" in plan
+    # the 1-row n_corpus aggregate joins via broadcast nested loop
+    assert "BroadcastNestedLoopJoin" in plan
