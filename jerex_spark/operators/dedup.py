@@ -62,16 +62,48 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def _shingle_array(k: int = SHINGLE_K):
+    """Per-doc DISTINCT shingle array from the split token list ``l``.
+    Shingles are distinct *within* a document, so the former row-level
+    ``.distinct()`` — a full exchange + two sort-aggregates over every
+    shingle in the corpus — is exactly ``array_distinct`` applied
+    per row: same (doc_id, shingle) set, zero shuffles (guide §2.4).
+
+    The sequence endpoint is clamped at 0 so the expression is TOTAL:
+    the optimizer may re-evaluate it on rows the ``size(l) >= k``
+    filter later drops (InferFiltersFromGenerate duplicates the array
+    into a ``size(arr) > 0`` predicate that can be ordered before the
+    length gate), and an unclamped ``sequence(0, -1)`` is descending —
+    its ``i = -1`` made ``slice(l, 0, k)`` raise.  Rows with
+    ``size(l) < k`` never reach the output, so the clamp changes no
+    result."""
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("l") - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("l", i + 1, k))))
+
+
+def _split_docs(spark, sf_dir, k: int, docs_df):
+    return ((_docs(spark, sf_dir) if docs_df is None else docs_df)
+            .select("doc_id", F.split("text", " ").alias("l"))
+            .filter(F.size("l") >= k))
+
+
 def _shingles(spark, sf_dir, k: int = SHINGLE_K, docs_df=None):
-    d = ((_docs(spark, sf_dir) if docs_df is None else docs_df)
-         .select("doc_id", F.split("text", " ").alias("l")))
-    return (d.filter(F.size("l") >= k)
-            .select("doc_id",
-                    F.explode(F.transform(
-                        F.sequence(F.lit(0), F.size("l") - k),
-                        lambda i: F.concat_ws(" ", F.slice("l", i + 1, k))))
-                    .alias("shingle"))
-            .distinct())
+    return (_split_docs(spark, sf_dir, k, docs_df)
+            .select("doc_id", _shingle_array(k).alias("sharr"))
+            .select("doc_id", F.explode("sharr").alias("shingle")))
+
+
+def _shingles_n(spark, sf_dir, k: int = SHINGLE_K, docs_df=None):
+    """(doc_id, n, shingle): exploded distinct shingles with the doc's
+    distinct-shingle count riding on every row.  ``n`` comes from the
+    per-doc array (``size``), so Jaccard consumers need no separate
+    per-doc count aggregation + re-join (two joins removed from the
+    verify stage, guide §2.4)."""
+    return (_split_docs(spark, sf_dir, k, docs_df)
+            .select("doc_id", _shingle_array(k).alias("sharr"))
+            .select("doc_id", F.size("sharr").alias("n"),
+                    F.explode("sharr").alias("shingle")))
 
 
 # --- exact-dup collapse for the LSH family --------------------------------
@@ -125,23 +157,34 @@ def _rep_shingles(spark, sf_dir, groups):
                      .join(reps, "doc_id", "left_semi"))
 
 
+def _sig_table(sh):
+    """(doc_id, hash_id, sig) MinHash signatures from a shingle table.
+    The N_HASHES per-function md5s are computed as SEPARATE COLUMNS in
+    one whole-stage-codegen projection and reduced by ONE
+    partial-aggregable groupBy(doc_id) (map-side combine state = 8
+    strings per doc), then unpivoted with ``stack`` — versus the
+    previous explode of 8 hash_id rows per shingle, which fanned the
+    pre-aggregation input 8x (guide §2.3: aggregate before you
+    shuffle, and feed the aggregation fewer rows)."""
+    hs = sh.select("doc_id", *[
+        F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
+        .alias(f"h{i}") for i in range(N_HASHES)])
+    agg = hs.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"s{i}") for i in range(N_HASHES)])
+    stacked = ", ".join(f"{i}, s{i}" for i in range(N_HASHES))
+    return agg.select(
+        "doc_id",
+        F.expr(f"stack({N_HASHES}, {stacked}) AS (hash_id, sig)"))
+
+
 def _rep_lsh_pairs(sh):
     """MinHash-LSH candidate pairs over the given (rep) shingle table —
     the same signature math as MINHASH_SQL."""
-    hashed = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("hash_id"),
-        "shingle")
-    sig = (hashed
-           .select("doc_id", "hash_id",
-                   F.md5(F.concat_ws("|", F.col("hash_id").cast("string"),
-                                     F.col("shingle"))).alias("h"))
-           .groupBy("doc_id", "hash_id").agg(F.min("h").alias("sig"))
-           # the self-join would otherwise recompute the whole
-           # shingle->hash->min pipeline for each side (Spark has no
-           # CSE across self-joins); signatures are tiny (n_reps x
-           # N_HASHES rows), so cache them
-           .transform(_persist))
+    # the self-join would otherwise recompute the whole
+    # shingle->hash->min pipeline for each side (Spark has no
+    # CSE across self-joins); signatures are tiny (n_reps x
+    # N_HASHES rows), so cache them
+    sig = _persist(_sig_table(sh))
     a = sig.select(F.col("doc_id").alias("doc_a"), "hash_id", "sig")
     b = sig.select(F.col("doc_id").alias("doc_b"), "hash_id", "sig")
     return (a.join(b, ["hash_id", "sig"])
@@ -266,26 +309,28 @@ def _guard_allpairs(df, what: str, scale_twin: str,
 
 def ngram_jaccard(spark, sf_dir, shingles=None):
     # Standalone invocation (shingles=None) is the unguided all-pairs
-    # baseline -> guarded.  The gated path (dedup_lsh_verified passes
-    # candidate-restricted shingles) is scale-safe and skips the guard.
+    # baseline -> guarded.  The gated path (dedup_lsh_verified passes a
+    # candidate-restricted ``_shingles_n`` table) is scale-safe and
+    # skips the guard.  ``shingles``, when given, must carry the per-doc
+    # distinct-shingle count ``n`` (see _shingles_n): the count rides
+    # through the intersection self-join as a grouping key, so the
+    # former per-doc count aggregation and its two re-joins are gone
+    # and the only shuffles left are the self-join + one partial agg.
     if shingles is None:
         _guard_allpairs(_docs(spark, sf_dir).select("doc_id"),
                         "ngram_jaccard", "dedup_lsh_verified")
-    # used three times below (counts + both join sides): cache
+    # used twice below (both join sides): cache
     sh = _persist(shingles if shingles is not None
-                  else _shingles(spark, sf_dir))
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+                  else _shingles_n(spark, sf_dir))
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("n").alias("n_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("n").alias("n_b"), "shingle")
     inter = (a.join(b, "shingle")
              .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
+             .groupBy("doc_a", "doc_b", "n_a", "n_b")
              .agg(F.count("*").alias("inter")))
-    na = counts.select(F.col("doc_id").alias("doc_a"),
-                       F.col("n").alias("n_a"))
-    nb = counts.select(F.col("doc_id").alias("doc_b"),
-                       F.col("n").alias("n_b"))
-    return (inter.join(na, "doc_a").join(nb, "doc_b")
+    return (inter
             .select("doc_a", "doc_b",
                     F.round(F.col("inter")
                             / (F.col("n_a") + F.col("n_b")
@@ -325,24 +370,35 @@ def dedup_lsh_verified(spark, sf_dir, threshold: float = 0.5):
     function of the two shingle sets, so identical texts share every
     verdict — k copies of a page cost ONE exact-Jaccard computation,
     the verdict expands relationally, and intra-group pairs are 1.0 by
-    identity.  ONE rep-shingle build (persisted, post-distinct so the
-    cache sits after the expensive exchange) feeds both the MinHash
-    signature pipeline and the gated verify side.  On a dup-free
-    corpus (_has_dups) the rep level IS the doc level: verdicts are
-    returned directly, skipping expansion and intra."""
+    identity.  The signature side shingles the reps once (consumed by
+    one partial-aggregable groupBy); the verify side shingles only the
+    LSH-candidate docs (semi-join gate BEFORE the explode, as before).
+    On a dup-free corpus (_has_dups) the rep level IS the doc level:
+    verdicts are returned directly, skipping expansion and intra."""
     docmap, groups = _dup_groups(spark, sf_dir)
     dups = _has_dups(groups)
-    sh = _persist(_rep_shingles(spark, sf_dir, groups) if dups
-                  else _shingles(spark, sf_dir))
-    rp = _persist(_rep_lsh_pairs(sh))
+    rep_docs = (_docs(spark, sf_dir)
+                .join(groups.select("doc_id"), "doc_id", "left_semi")
+                if dups else None)
+    rp = _persist(_rep_lsh_pairs(
+        _shingles(spark, sf_dir, docs_df=rep_docs)))
     cand_docs = (rp.select(F.col("doc_a").alias("doc_id"))
                  .unionByName(rp.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
-    # no broadcast hint: AQE converts the semi-join to broadcast at
+    # gate the DOCUMENTS, then re-shingle only the gated set: the
+    # signature side consumes its shingles exactly once (inside the one
+    # partial-aggregable groupBy of _sig_table), so persisting a full
+    # rep-shingle table bought nothing — the verify side's shingle
+    # build now runs over candidate docs only, which is the same
+    # physical gate as before (semi-join precedes the explode).
+    # No broadcast hint: AQE converts the semi-join to broadcast at
     # runtime when the candidate set is small (the common case) but
-    # degrades to a shuffle join gracefully when a corpus is dup-heavy
-    gated = sh.join(cand_docs, "doc_id", "left_semi")
-    jac = ngram_jaccard(spark, sf_dir, shingles=gated)
+    # degrades to a shuffle join gracefully when a corpus is dup-heavy.
+    gated_docs = ((_docs(spark, sf_dir) if rep_docs is None else rep_docs)
+                  .join(cand_docs, "doc_id", "left_semi"))
+    jac = ngram_jaccard(spark, sf_dir,
+                        shingles=_shingles_n(spark, sf_dir,
+                                             docs_df=gated_docs))
     rep_ver = (rp.join(jac, ["doc_a", "doc_b"])
                .filter(F.col("jaccard") >= threshold))
     if not dups:
@@ -486,6 +542,13 @@ def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
             groups.count(), design_cos=threshold,
             n_bands=n_bands, band_bits=band_bits,
             min_bands=EMBDUP_N_BANDS)
+    # dup-free corpora (every vector distinct) skip the member-pair
+    # expansion machinery outright: each rep's member list is [itself],
+    # so the two expansion joins + two explodes are 1:1 identities and
+    # the intra branch is empty by construction — same adaptive branch
+    # as the text-dedup family's _has_dups.  One tiny agg over the
+    # already-persisted groups table.
+    dup_free = (groups.agg(F.max("k").alias("m")).first().m or 0) <= 1
     reps = groups.select("vec_id", "vec", "norm")
     ba = (_band_buckets(reps, n_bands=n_bands, band_bits=band_bits)
           .select("vec_id", "band", "bucket"))
@@ -504,6 +567,9 @@ def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
     rep_pairs = (pairs.join(va, "id_a").join(vb, "id_b")
                  .select("id_a", "id_b", F.round(cos, 6).alias("cos6"))
                  .filter(F.col("cos6") >= threshold))
+    if dup_free:
+        return rep_pairs.select("id_a", "id_b",
+                                F.round("cos6", 4).alias("cos"))
     # expand cross-group rep verdicts to all member pairs (identical
     # vectors => identical cosine)
     ga = groups.select(F.col("vec_id").alias("id_a"),

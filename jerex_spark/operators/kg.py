@@ -920,21 +920,32 @@ SELECT line FROM lines
 _DELTA_SALT = ":crawl-batch-v1"
 
 
+def _surface_of(entity_col, mentions_col="mentions"):
+    """Surface key of one entity struct, computed IN PLACE from the
+    nested doc-graph row: sorted distinct lowercased mention phrases
+    joined by '|'.  ``mention_idxs`` index the doc's mentions array by
+    position (mention_idx == list position by construction), so the
+    former explode -> equi-join on (doc_key, mention_idx) -> groupBy
+    collect_set — three shuffles of per-document data — collapses to a
+    pure projection (guide §2.4: the work is per-document, so no
+    exchange is fundamentally required).  array_distinct + array_sort
+    over strings is exactly collect_set + array_sort (same byte-wise
+    string ordering)."""
+    return F.array_join(F.array_sort(F.array_distinct(F.transform(
+        entity_col["mention_idxs"],
+        lambda i: F.lower(
+            F.element_at(F.col(mentions_col), i + 1)["phrase"])))), "|")
+
+
 def _entity_surfaces(graph):
     """(doc_key, entity_idx, surface): surface = sorted distinct
-    lowercased mention phrases joined by '|'.  One explode + one
-    equi-join + one partial-aggregable groupBy on (doc_key, entity) —
-    per-document work, no global state, safe at any corpus size."""
-    tabs = kg_tables(graph)
-    m = tabs["mentions"].select(
-        "doc_key", "mention_idx", F.lower("phrase").alias("p"))
-    e = tabs["entities"].select(
-        "doc_key", "entity_idx",
-        F.explode("mention_idxs").alias("mention_idx"))
-    return (e.join(m, ["doc_key", "mention_idx"])
-            .groupBy("doc_key", "entity_idx")
-            .agg(F.array_join(F.array_sort(F.collect_set("p")), "|")
-                 .alias("surface")))
+    lowercased mention phrases joined by '|'.  Zero shuffles — one
+    explode of the entities array with the surface computed per row
+    (see _surface_of)."""
+    e = graph.select("doc_key", "mentions", F.explode("entities").alias("e"))
+    return e.select("doc_key",
+                    F.col("e.entity_idx").alias("entity_idx"),
+                    _surface_of(F.col("e")).alias("surface"))
 
 
 # DuckDB twin of _entity_surfaces over the signature-selected golden
@@ -987,18 +998,25 @@ def kg_delta_merge(spark, sf_dir):
     the heavy lifting, no window, no driver state, so the merge scales
     with distinct-triple count, not corpus size."""
     from .packing import _hex4_to_int
-    graph = _persist(build_graph(load_documents(spark, sf_dir), DEFAULT))
-    surf = _entity_surfaces(graph)
-    t = (kg_tables(graph)["triples"]
-         .select("doc_key", "head_idx", "tail_idx", "rel_type"))
-    t = (t.join(surf.select("doc_key",
-                            F.col("entity_idx").alias("head_idx"),
-                            F.col("surface").alias("subj")),
-                ["doc_key", "head_idx"])
-         .join(surf.select("doc_key",
-                           F.col("entity_idx").alias("tail_idx"),
-                           F.col("surface").alias("obj")),
-               ["doc_key", "tail_idx"]))
+    # Single-pass plan: the per-entity surfaces are computed on the
+    # nested doc-graph row (one array projection per doc, _surface_of)
+    # and each triple looks its head/tail surface up positionally, so
+    # the former persisted-graph fan-out (surfaces branch + triples
+    # branch re-joined on (doc_key, entity_idx) — three extra
+    # exchanges and a cache materialization) is now scan -> project ->
+    # explode -> ONE partial-aggregable groupBy on the triple identity.
+    graph = build_graph(load_documents(spark, sf_dir), DEFAULT)
+    surfs = graph.select(
+        "doc_key",
+        F.transform("entities", lambda e: _surface_of(e)).alias("surfs"),
+        "triples")
+    t = (surfs.select("doc_key", "surfs", F.explode("triples").alias("t"))
+         .select("doc_key",
+                 F.element_at("surfs", F.col("t.head_idx") + 1)
+                 .alias("subj"),
+                 F.col("t.rel_type").alias("rel_type"),
+                 F.element_at("surfs", F.col("t.tail_idx") + 1)
+                 .alias("obj")))
     is_delta = (_hex4_to_int(
         F.md5(F.concat(F.col("doc_key"), F.lit(_DELTA_SALT)))) % 2)
     return (t.withColumn("is_delta", is_delta)
@@ -1052,7 +1070,10 @@ def kg_cooccur_pmi(spark, sf_dir):
     document; pair counts partial-aggregate; the two marginal joins
     are equi-joins on the surface key; N rides along via a crossJoin
     with a 1-row broadcast aggregate (never a collect)."""
-    graph = _persist(build_graph(load_documents(spark, sf_dir), DEFAULT))
+    # graph no longer persisted: _entity_surfaces is now a pure
+    # projection (zero shuffles), so the extract feeds exactly one
+    # consumer — the persisted distinct-surface table below
+    graph = build_graph(load_documents(spark, sf_dir), DEFAULT)
     surf = _persist(_entity_surfaces(graph)
                     .select("doc_key", "surface").distinct())
     n = surf.select(F.count_distinct("doc_key").alias("n_corpus"))
@@ -1220,7 +1241,9 @@ def kg_surface_components(spark, sf_dir):
     union-find under the bounded-edge cap, the O(log n) large/small-
     star alternation past it."""
     from .components import connected_components
-    graph = _persist(build_graph(load_documents(spark, sf_dir), DEFAULT))
+    # graph unpersisted: surfaces are a pure projection now, consumed
+    # exactly once by the persisted distinct-surface table
+    graph = build_graph(load_documents(spark, sf_dir), DEFAULT)
     surf = _persist(_entity_surfaces(graph)
                     .select("surface").distinct())
     memb = _persist(surf.select(

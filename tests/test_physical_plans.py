@@ -167,15 +167,18 @@ def test_ann_joins_never_build_the_corpus_side(spark, sf001):
 
 def test_kg_maintenance_plans(spark, sf001):
     """The KG-maintenance queries keep the shapes a 100 TB merge needs:
-    the extract graph is persisted and REUSED across the surface/triple
-    branches (InMemoryTableScan, not a re-run of the mapInPandas
-    subtree per branch), the merge groupBy partial-aggregates
-    map-side, and the PMI corpus count rides along as a 1-row
-    broadcast, never a collect.  Plan construction only — no jobs."""
+    the delta merge is SINGLE-PASS — surfaces are computed on the
+    nested doc-graph row and triples look them up positionally, so the
+    mapInPandas extract appears exactly once and the only shuffle is
+    the partial-aggregable groupBy on the triple identity (round 6:
+    the former persisted-graph fan-out with surface re-joins is gone).
+    The PMI corpus count rides along as a 1-row broadcast, never a
+    collect.  Plan construction only — no jobs."""
     from jerex_spark.operators.kg import kg_cooccur_pmi, kg_delta_merge
 
     plan = _plan(kg_delta_merge(spark, sf001))
-    assert "InMemoryTableScan" in plan          # persisted graph reused
+    # one extract, no duplicated mapInPandas subtree, no cache needed
+    assert plan.count("MapInPandas") == 1
     # partial + final HashAggregate pair on the merge key
     assert plan.count("HashAggregate") >= 2
     assert "partial_count" in plan or "partial" in plan.lower()
