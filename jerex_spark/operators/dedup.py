@@ -83,7 +83,21 @@ def _shingle_array(k: int = SHINGLE_K):
 
 
 def _split_docs(spark, sf_dir, k: int, docs_df):
-    return ((_docs(spark, sf_dir) if docs_df is None else docs_df)
+    """Documents split to token lists, SPREAD by doc-id hash first.
+
+    The shingle pipelines are compute-bound per row (split + transform
+    + md5s); a compact input (one parquet split, or a selective
+    semi-join output) would otherwise run that whole fused stage on
+    one task.  Hashing doc_id across defaultParallelism partitions
+    moves only the raw text once — strictly fewer bytes than the
+    pre-round-6 plan, which shuffled the ~5x larger exploded shingle
+    set through a corpus-wide distinct — and doubles as the hot-host
+    skew spread (same rationale as pipeline.salted_repartition).
+    Deterministic (xxhash64 of the id, guide §2.5), scale-adaptive
+    (derived from the session's parallelism, not a constant)."""
+    d = _docs(spark, sf_dir) if docs_df is None else docs_df
+    n = d.sparkSession.sparkContext.defaultParallelism
+    return (d.repartition(n, F.xxhash64("doc_id"))
             .select("doc_id", F.split("text", " ").alias("l"))
             .filter(F.size("l") >= k))
 

@@ -26,32 +26,8 @@ def _emb(spark, sf_dir):
                                 lambda x: x.cast("double")).alias("vec")))
 
 
-_DOT_HOF = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-            "cast(0.0 as double), (acc, v) -> acc + v)")
-
-EMB_DIM = 64        # embeddings-table vector width (FIXTURES.md)
-
-
-class _Dot:
-    """Dot-product SQL fragment, codegen-friendly.
-
-    ``aggregate(zip_with(a, b, ...))`` is a higher-order function —
-    CodegenFallback, evaluated interpreted per row, which made the
-    exact-cosine stages the dominant per-task cost of the candidate
-    verify joins (guide §4.1: prefer built-ins that codegen).  For the
-    fixed EMB_DIM vector width the same left-fold is expressible as an
-    explicit left-associative sum of products ``(a[0]*b[0]) + ... ``:
-    GetArrayItem + fp64 multiply/add all inside whole-stage codegen,
-    with the IDENTICAL fp operation order (left fold, same operand
-    bits), so every cosine/norm is bitwise-unchanged.  ``.format``
-    keeps the call sites of the old ``_DOT`` template unchanged."""
-
-    def format(self, a: str, b: str, dim: int = EMB_DIM) -> str:
-        return "(" + " + ".join(
-            f"({a}[{i}] * {b}[{i}])" for i in range(dim)) + ")"
-
-
-_DOT = _Dot()
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v)")
 
 
 def _with_norm(df):
@@ -128,13 +104,7 @@ def lsh_bucket_ann(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     sign_bits = []
     for p in range(N_PLANES):
-        # explicit left-assoc sum with the plane weights inlined as
-        # scalar literals: same fp order as the former
-        # aggregate(zip_with(vec, <array literal>)) left fold, but
-        # whole-stage codegen instead of interpreted HOF
-        proj = "(" + " + ".join(
-            f"(vec[{j}] * {x:.1f}d)"
-            for j, x in enumerate(_plane_weights(p))) + ")"
+        proj = _DOT.format(a="vec", b=_plane_expr(p))
         sign_bits.append(f"case when {proj} >= 0 then 1 else 0 end")
     bucket = F.expr(" || ".join(f"cast({b} as string)" for b in sign_bits))
     b = emb.select("vec_id", bucket.alias("bucket"))

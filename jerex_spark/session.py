@@ -34,6 +34,18 @@ def build_session(app: str = "jerex-spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate copies the generator's child into an
+        # inferred `size(child) > 0` filter, so an expensive generator
+        # input (the shingle transform: split -> transform -> concat_ws
+        # per element) is evaluated TWICE per row — and the inferred
+        # Filter node is not whole-stage-codegen.  The rule's benefit
+        # (skipping empty arrays before the Generate) is a no-op for
+        # this workload: every generator input is non-empty by
+        # construction (length-gated upstream).  Scale-independent —
+        # the duplicated work grows linearly with the corpus.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(cfg.arrow_max_records_per_batch))
