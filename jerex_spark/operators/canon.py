@@ -29,8 +29,14 @@ ALIASES = [
 
 def canon_gazetteer(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ments = (docs.select("doc_id",
-                         F.explode(F.split("text", " ")).alias("phrase"))
+    # spread by doc-id hash before the word explode: a compact input
+    # (single parquet split) would run the explode + distinct map side
+    # on one task; the raw text moves once, deterministic, sized from
+    # the session's parallelism (same rationale as dedup._split_docs)
+    n = spark.sparkContext.defaultParallelism
+    ments = (docs.repartition(n, F.xxhash64("doc_id"))
+             .select("doc_id",
+                     F.explode(F.split("text", " ")).alias("phrase"))
              .distinct()
              # canonicalize_entities keys on (doc_key, entity_idx) —
              # one gazetteer "entity" per (doc, phrase)

@@ -543,29 +543,44 @@ def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
     from ..caching import persist_tracked
     from .similarity import (_DOT, _band_buckets, _emb, _with_norm,
                              lsh_schedule)
-    e = _with_norm(_emb(spark, sf_dir))
-    groups = persist_tracked(
-        e.groupBy("vec").agg(
-            F.min("vec_id").alias("vec_id"),
-            F.first("norm").alias("norm"),
-            F.sort_array(F.collect_list("vec_id")).alias("members"),
-            F.count("*").alias("k")))
-    if n_bands is None or band_bits is None:
+    e = persist_tracked(_with_norm(_emb(spark, sf_dir)))
+    # Dup probe BEFORE the collapse: count vs distinct-hash count in
+    # ONE tiny agg (the job also materializes the persisted vector
+    # table).  Dup-free corpora (every vector distinct) then skip the
+    # whole collapse machinery — the groupBy over full 64-dim vector
+    # keys AND the member-pair expansion joins are 1:1 identities in
+    # that case — the same adaptive branch as the text family's
+    # _has_dups.  A hash collision can only under-count distincts,
+    # flipping the branch to the (always-correct) collapse path, so
+    # the probe is output-safe.
+    probe = e.agg(F.count("*").alias("n"),
+                  F.count_distinct(F.xxhash64("vec")).alias("nd")).first()
+    dup_free = probe.n == probe.nd
+    if dup_free:
+        n_reps = probe.n
+        reps = e.select("vec_id", "vec", "norm")
+        groups = None
+    else:
+        groups = persist_tracked(
+            e.groupBy("vec").agg(
+                F.min("vec_id").alias("vec_id"),
+                F.first("norm").alias("norm"),
+                F.sort_array(F.collect_list("vec_id")).alias("members"),
+                F.count("*").alias("k")))
         # the count also materializes the persisted table we join below
+        n_reps = groups.count()
+        reps = groups.select("vec_id", "vec", "norm")
+    if n_bands is None or band_bits is None:
         n_bands, band_bits = lsh_schedule(
-            groups.count(), design_cos=threshold,
+            n_reps, design_cos=threshold,
             n_bands=n_bands, band_bits=band_bits,
             min_bands=EMBDUP_N_BANDS)
-    # dup-free corpora (every vector distinct) skip the member-pair
-    # expansion machinery outright: each rep's member list is [itself],
-    # so the two expansion joins + two explodes are 1:1 identities and
-    # the intra branch is empty by construction — same adaptive branch
-    # as the text-dedup family's _has_dups.  One tiny agg over the
-    # already-persisted groups table.
-    dup_free = (groups.agg(F.max("k").alias("m")).first().m or 0) <= 1
-    reps = groups.select("vec_id", "vec", "norm")
-    ba = (_band_buckets(reps, n_bands=n_bands, band_bits=band_bits)
-          .select("vec_id", "band", "bucket"))
+    # persisted: the band self-join consumes ba on BOTH sides and Spark
+    # has no cross-plan CSE, so an unpersisted ba would run the
+    # Arrow-batched bucketing UDF twice over the corpus
+    ba = persist_tracked(
+        _band_buckets(reps, n_bands=n_bands, band_bits=band_bits)
+        .select("vec_id", "band", "bucket"))
     pairs = (ba.join(ba.select(F.col("vec_id").alias("id_b"),
                                "band", "bucket").hint("shuffle_hash"),
                      ["band", "bucket"])

@@ -270,16 +270,20 @@ def join_agg_revenue(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # raw price/discount ride to the aggregation and the decimal
+    # cast+multiply is evaluated INSIDE the agg: the expression then
+    # runs post-shuffle across all cores instead of inside the (often
+    # single-split) lineitem scan task, at identical shuffled bytes
+    # (two doubles vs one decimal) and identical exact-decimal math
     li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        (F.col("l_extendedprice").cast("decimal(18,6)")
-         * (1 - F.col("l_discount").cast("decimal(18,6)")))
-        .alias("rev"))
+        "l_orderkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (1 - F.col("l_discount").cast("decimal(18,6)")))
     return (orders.join(F.broadcast(cust),
                         orders.o_custkey == cust.c_custkey)
             .join(li, orders.o_orderkey == li.l_orderkey)
             .groupBy("o_orderkey")
-            .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
             .filter(F.col("revenue") > 100000))
 
 
