@@ -140,7 +140,12 @@ def _dup_groups(spark, sf_dir):
     one representative (min doc_id) per distinct text.  Both persisted
     — the rep filter, the verdict expansion, and the intra-group pair
     build all reuse them."""
-    docmap = _persist(_docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir)
+    # spread before the md5+split projection (same rationale as
+    # _split_docs: a single-split scan would hash the whole corpus on
+    # one task)
+    n = d.sparkSession.sparkContext.defaultParallelism
+    docmap = _persist(d.repartition(n, F.xxhash64("doc_id")).select(
         "doc_id", F.md5("text").alias("th"),
         F.size(F.split("text", " ")).alias("n_toks")))
     groups = _persist(docmap.groupBy("th").agg(
