@@ -35,8 +35,11 @@ def salted_repartition(df: DataFrame, key: str = "doc_key",
 
     Web corpora are skewed by host/language; hashing the full document
     key with a salt spreads hot hosts across all partitions (SURVEY.md
-    §4 item 2).  xxhash64 is cheap, JVM-side, and deterministic."""
-    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    §4 item 2).  xxhash64 is cheap, JVM-side, and deterministic.  The
+    fan-out is ``cores x cfg.extract_partitions_per_core`` — see the
+    config for the measured task-granularity trade-off."""
+    n = (df.sparkSession.sparkContext.defaultParallelism
+         * cfg.extract_partitions_per_core)
     return df.repartition(n, F.xxhash64(F.col(key), F.lit(cfg.weight_seed)))
 
 
