@@ -102,9 +102,15 @@ def _split_docs(spark, sf_dir, k: int, docs_df):
             .filter(F.size("l") >= k))
 
 
-def _shingles(spark, sf_dir, k: int = SHINGLE_K, docs_df=None):
+def _shingle_arrays(spark, sf_dir, k: int = SHINGLE_K, docs_df=None):
+    """(doc_id, sharr): the per-doc distinct shingle ARRAY — the
+    un-exploded form the map-only signature build consumes."""
     return (_split_docs(spark, sf_dir, k, docs_df)
-            .select("doc_id", _shingle_array(k).alias("sharr"))
+            .select("doc_id", _shingle_array(k).alias("sharr")))
+
+
+def _shingles(spark, sf_dir, k: int = SHINGLE_K, docs_df=None):
+    return (_shingle_arrays(spark, sf_dir, k, docs_df)
             .select("doc_id", F.explode("sharr").alias("shingle")))
 
 
@@ -114,8 +120,7 @@ def _shingles_n(spark, sf_dir, k: int = SHINGLE_K, docs_df=None):
     per-doc array (``size``), so Jaccard consumers need no separate
     per-doc count aggregation + re-join (two joins removed from the
     verify stage, guide §2.4)."""
-    return (_split_docs(spark, sf_dir, k, docs_df)
-            .select("doc_id", _shingle_array(k).alias("sharr"))
+    return (_shingle_arrays(spark, sf_dir, k, docs_df)
             .select("doc_id", F.size("sharr").alias("n"),
                     F.explode("sharr").alias("shingle")))
 
@@ -167,43 +172,48 @@ def _has_dups(groups) -> bool:
     return (m or 0) > 1
 
 
-def _rep_shingles(spark, sf_dir, groups):
-    """Shingle table restricted to group representatives — the filter
-    sits BEFORE the explode, so the k-1 duplicate copies never shingle."""
+def _rep_shingle_arrays(spark, sf_dir, groups):
+    """Shingle-array table restricted to group representatives — the
+    filter sits BEFORE the shingle transform, so the k-1 duplicate
+    copies never shingle."""
     reps = groups.select("doc_id")
-    return _shingles(spark, sf_dir,
-                     docs_df=_docs(spark, sf_dir)
-                     .join(reps, "doc_id", "left_semi"))
+    return _shingle_arrays(spark, sf_dir,
+                           docs_df=_docs(spark, sf_dir)
+                           .join(reps, "doc_id", "left_semi"))
 
 
-def _sig_table(sh):
-    """(doc_id, hash_id, sig) MinHash signatures from a shingle table.
-    The N_HASHES per-function md5s are computed as SEPARATE COLUMNS in
-    one whole-stage-codegen projection and reduced by ONE
-    partial-aggregable groupBy(doc_id) (map-side combine state = 8
-    strings per doc), then unpivoted with ``stack`` — versus the
-    previous explode of 8 hash_id rows per shingle, which fanned the
-    pre-aggregation input 8x (guide §2.3: aggregate before you
-    shuffle, and feed the aggregation fewer rows)."""
-    hs = sh.select("doc_id", *[
-        F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
-        .alias(f"h{i}") for i in range(N_HASHES)])
-    agg = hs.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"s{i}") for i in range(N_HASHES)])
+def _sig_table(sharr_df):
+    """(doc_id, hash_id, sig) MinHash signatures, MAP-ONLY: each of the
+    N_HASHES minima is ``array_min`` over the doc's shingle array with
+    the seeded md5 applied per element, then the 8 columns unpivot
+    with ``stack``.  min over the per-doc multiset == min over the
+    distinct set, so this is value-identical to the oracle's
+    explode + GROUP BY MIN — but the plan has NO aggregation at all
+    (the previous groupBy minimum over var-length strings planned as
+    Sort + SortAggregate pairs around an exchange; guide §2.4: the
+    work is per-document, so no shuffle is fundamentally required)."""
+    def one_min(i: int):
+        return F.array_min(F.transform(
+            "sharr",
+            lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s)))
+        ).alias(f"s{i}")
+
+    mins = sharr_df.select("doc_id",
+                           *[one_min(i) for i in range(N_HASHES)])
     stacked = ", ".join(f"{i}, s{i}" for i in range(N_HASHES))
-    return agg.select(
+    return mins.select(
         "doc_id",
         F.expr(f"stack({N_HASHES}, {stacked}) AS (hash_id, sig)"))
 
 
-def _rep_lsh_pairs(sh):
-    """MinHash-LSH candidate pairs over the given (rep) shingle table —
-    the same signature math as MINHASH_SQL."""
+def _rep_lsh_pairs(sharr_df):
+    """MinHash-LSH candidate pairs over the given (rep) shingle-array
+    table — the same signature math as MINHASH_SQL."""
     # the self-join would otherwise recompute the whole
     # shingle->hash->min pipeline for each side (Spark has no
     # CSE across self-joins); signatures are tiny (n_reps x
     # N_HASHES rows), so cache them
-    sig = _persist(_sig_table(sh))
+    sig = _persist(_sig_table(sharr_df))
     a = sig.select(F.col("doc_id").alias("doc_a"), "hash_id", "sig")
     b = sig.select(F.col("doc_id").alias("doc_b"), "hash_id", "sig")
     return (a.join(b, ["hash_id", "sig"])
@@ -263,8 +273,8 @@ def minhash_lsh_pairs(spark, sf_dir):
     so the expansion/intra stages are skipped outright."""
     docmap, groups = _dup_groups(spark, sf_dir)
     if not _has_dups(groups):
-        return _rep_lsh_pairs(_shingles(spark, sf_dir))
-    rp = _rep_lsh_pairs(_rep_shingles(spark, sf_dir, groups))
+        return _rep_lsh_pairs(_shingle_arrays(spark, sf_dir))
+    rp = _rep_lsh_pairs(_rep_shingle_arrays(spark, sf_dir, groups))
     return (_expand_rep_pairs(rp, docmap, groups)
             .unionByName(_intra_pairs(docmap, groups)))
 
@@ -284,10 +294,10 @@ def lsh_pair_graph(spark, sf_dir):
     construction, so an empty frame replaces the star-build joins."""
     docmap, groups = _dup_groups(spark, sf_dir)
     if not _has_dups(groups):
-        rp = _rep_lsh_pairs(_shingles(spark, sf_dir))
+        rp = _rep_lsh_pairs(_shingle_arrays(spark, sf_dir))
         star = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
         return docmap, groups, rp, star
-    rp = _rep_lsh_pairs(_rep_shingles(spark, sf_dir, groups))
+    rp = _rep_lsh_pairs(_rep_shingle_arrays(spark, sf_dir, groups))
     star = (docmap.filter(F.col("n_toks") >= SHINGLE_K)
             .join(groups.select("th", F.col("doc_id").alias("rep")), "th")
             .filter(F.col("doc_id") != F.col("rep"))
@@ -400,7 +410,7 @@ def dedup_lsh_verified(spark, sf_dir, threshold: float = 0.5):
                 .join(groups.select("doc_id"), "doc_id", "left_semi")
                 if dups else None)
     rp = _persist(_rep_lsh_pairs(
-        _shingles(spark, sf_dir, docs_df=rep_docs)))
+        _shingle_arrays(spark, sf_dir, docs_df=rep_docs)))
     cand_docs = (rp.select(F.col("doc_a").alias("doc_id"))
                  .unionByName(rp.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
