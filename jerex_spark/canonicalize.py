@@ -43,17 +43,28 @@ def _char_shingles(col, k: int = SHINGLE_C):
 
 
 def _minhash_sigs(df: DataFrame, text_col: str, id_cols: list[str]):
-    """(id_cols..., hash_id, sig) minhash signatures over char shingles."""
-    sh = df.select(*id_cols,
-                   F.explode(_char_shingles(F.col(text_col)))
-                   .alias("shingle")).distinct()
-    return (sh.select(*id_cols, "shingle",
-                      F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1)))
-                      .alias("hash_id"))
-            .select(*id_cols, "hash_id",
-                    F.md5(F.concat_ws("|", F.col("hash_id").cast("string"),
-                                      F.col("shingle"))).alias("h"))
-            .groupBy(*id_cols, "hash_id").agg(F.min("h").alias("sig")))
+    """(id_cols..., hash_id, sig) minhash signatures over char
+    shingles, MAP-ONLY: each per-row minimum is ``array_min`` over the
+    md5-transformed distinct-shingle array, unpivoted with ``stack``.
+    Value-identical to the oracle's explode + GROUP BY MIN (min over
+    the multiset == min over the set; rows here are unique per id by
+    construction), with no exchange and none of the Sort+SortAggregate
+    pairs a var-length string min used to force — same move as
+    operators/dedup._sig_table."""
+    def one_min(i: int):
+        return F.array_min(F.transform(
+            "sharr",
+            lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s)))
+        ).alias(f"s{i}")
+
+    mins = (df.select(*id_cols,
+                      F.array_distinct(_char_shingles(F.col(text_col)))
+                      .alias("sharr"))
+            .select(*id_cols, *[one_min(i) for i in range(N_HASHES)]))
+    stacked = ", ".join(f"{i}, s{i}" for i in range(N_HASHES))
+    return mins.select(
+        *id_cols,
+        F.expr(f"stack({N_HASHES}, {stacked}) AS (hash_id, sig)"))
 
 
 def canonicalize_form_verdicts(forms: DataFrame,

@@ -34,10 +34,13 @@ def canon_gazetteer(spark, sf_dir):
     # on one task; the raw text moves once, deterministic, sized from
     # the session's parallelism (same rationale as dedup._split_docs)
     n = spark.sparkContext.defaultParallelism
+    # per-doc array_distinct replaces the row-level distinct: doc_id is
+    # unique per input row, so deduping words inside the array is the
+    # same (doc_id, phrase) set with zero shuffles (guide §2.4)
     ments = (docs.repartition(n, F.xxhash64("doc_id"))
              .select("doc_id",
-                     F.explode(F.split("text", " ")).alias("phrase"))
-             .distinct()
+                     F.explode(F.array_distinct(F.split("text", " ")))
+                     .alias("phrase"))
              # canonicalize_entities keys on (doc_key, entity_idx) —
              # one gazetteer "entity" per (doc, phrase)
              .withColumn("doc_key",
