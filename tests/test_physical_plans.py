@@ -118,6 +118,25 @@ def test_dedup_lsh_verified_gates_shingle_join(spark, sf001):
         release_persisted()
 
 
+def test_minhash_sig_build_is_map_only(spark, sf001):
+    """Round 6: the MinHash signature build is array_min over the
+    per-doc shingle array — a pure projection.  The full candidate-pair
+    plan must carry NO sort-based aggregate anywhere (the former
+    groupBy minimum over var-length strings planned as
+    Sort+SortAggregate pairs around an exchange), and the only
+    exchanges are the deterministic doc spread, the band self-join and
+    the final distinct."""
+    from jerex_spark.caching import release_persisted
+    from jerex_spark.operators.dedup import minhash_lsh_pairs
+    try:
+        plan = _plan(minhash_lsh_pairs(spark, sf001))
+        assert "SortAggregate" not in plan, plan
+        # per-doc dedup is array_distinct, not a row-level distinct
+        assert "array_distinct" in plan
+    finally:
+        release_persisted()
+
+
 def test_sessionize_single_exchange(spark, sf001):
     """Sessionization = exactly one shuffle (on user_id) reused by the
     lag window, the running-sum window, AND the final groupBy — the
