@@ -158,18 +158,24 @@ def _dup_groups(spark, sf_dir):
     return docmap, groups
 
 
-def _has_dups(groups) -> bool:
-    """One tiny action over the persisted groups table: does the corpus
-    contain ANY byte-identical text pair?  Dup-FREE corpora (curated
-    dumps, already-deduped shards) then skip the collapse machinery —
-    the rep pipeline IS the per-doc pipeline and the expansion joins
-    are 1:1 by construction, so the adaptive branch returns the plain
-    rep-pair plan and saves four joins plus the intra-pair build
-    (measured 8.3s -> 5.9s on the dup-free sf0.1 corpus, same window).
-    Dup-heavy corpora pay one extra small job (the agg materializes
-    caches the main job reuses) and keep the collapse."""
-    m = groups.agg(F.max("k").alias("m")).first().m
-    return (m or 0) > 1
+def _has_dups(spark, sf_dir) -> bool:
+    """One LEAN probe job: does the corpus contain ANY byte-identical
+    text pair?  Count vs distinct-hash count in a single partial-
+    aggregable agg — no exchange of text, no cache materialization
+    (round 6: the probe previously forced the docmap/groups caches to
+    materialize as a separate synchronous job; they now materialize
+    lazily inside the main action, overlapped with the rest of the
+    plan).  A hash collision can only under-count distincts, flipping
+    the branch to the (always-correct) collapse path, so the probe is
+    output-safe.  Dup-FREE corpora (curated dumps, already-deduped
+    shards) then skip the collapse machinery — the rep pipeline IS the
+    per-doc pipeline and the expansion joins are 1:1 by construction,
+    so the adaptive branch returns the plain rep-pair plan and saves
+    four joins plus the intra-pair build."""
+    r = _docs(spark, sf_dir).agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.xxhash64("text")).alias("nd")).first()
+    return r.n != r.nd
 
 
 def _rep_shingle_arrays(spark, sf_dir, groups):
@@ -272,7 +278,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     dup-free corpus (detected by _has_dups) every doc is its own rep,
     so the expansion/intra stages are skipped outright."""
     docmap, groups = _dup_groups(spark, sf_dir)
-    if not _has_dups(groups):
+    if not _has_dups(spark, sf_dir):
         return _rep_lsh_pairs(_shingle_arrays(spark, sf_dir))
     rp = _rep_lsh_pairs(_rep_shingle_arrays(spark, sf_dir, groups))
     return (_expand_rep_pairs(rp, docmap, groups)
@@ -293,7 +299,7 @@ def lsh_pair_graph(spark, sf_dir):
     dup-free corpus (_has_dups) the star edge set is empty by
     construction, so an empty frame replaces the star-build joins."""
     docmap, groups = _dup_groups(spark, sf_dir)
-    if not _has_dups(groups):
+    if not _has_dups(spark, sf_dir):
         rp = _rep_lsh_pairs(_shingle_arrays(spark, sf_dir))
         star = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
         return docmap, groups, rp, star
@@ -405,7 +411,7 @@ def dedup_lsh_verified(spark, sf_dir, threshold: float = 0.5):
     On a dup-free corpus (_has_dups) the rep level IS the doc level:
     verdicts are returned directly, skipping expansion and intra."""
     docmap, groups = _dup_groups(spark, sf_dir)
-    dups = _has_dups(groups)
+    dups = _has_dups(spark, sf_dir)
     rep_docs = (_docs(spark, sf_dir)
                 .join(groups.select("doc_id"), "doc_id", "left_semi")
                 if dups else None)

@@ -16,8 +16,7 @@ import pytest
 
 from jerex_spark.caching import release_persisted
 from jerex_spark.operators.dedup import (DEDUP_VERIFIED_SQL, MINHASH_SQL,
-                                         _dup_groups, _has_dups,
-                                         dedup_lsh_verified,
+                                         _has_dups, dedup_lsh_verified,
                                          minhash_lsh_pairs)
 
 BASE = [
@@ -61,9 +60,10 @@ def _duck(d, sql):
 
 
 def test_branch_detection(spark, corpus_dir):
+    # round 6: the probe is one lean agg over the documents table
+    # (count vs distinct-hash count), no cache materialization
     d, dup_heavy = corpus_dir
-    _dm, groups = _dup_groups(spark, d)
-    assert _has_dups(groups) is dup_heavy
+    assert _has_dups(spark, d) is dup_heavy
 
 
 def test_minhash_pairs_match_oracle_both_branches(spark, corpus_dir):
