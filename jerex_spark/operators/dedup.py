@@ -158,24 +158,41 @@ def _dup_groups(spark, sf_dir):
     return docmap, groups
 
 
-def _has_dups(spark, sf_dir) -> bool:
-    """One LEAN probe job: does the corpus contain ANY byte-identical
-    text pair?  Count vs distinct-hash count in a single partial-
-    aggregable agg — no exchange of text, no cache materialization
-    (round 6: the probe previously forced the docmap/groups caches to
-    materialize as a separate synchronous job; they now materialize
-    lazily inside the main action, overlapped with the rest of the
-    plan).  A hash collision can only under-count distincts, flipping
-    the branch to the (always-correct) collapse path, so the probe is
-    output-safe.  Dup-FREE corpora (curated dumps, already-deduped
-    shards) then skip the collapse machinery — the rep pipeline IS the
-    per-doc pipeline and the expansion joins are 1:1 by construction,
-    so the adaptive branch returns the plain rep-pair plan and saves
-    four joins plus the intra-pair build."""
-    r = _docs(spark, sf_dir).agg(
-        F.count("*").alias("n"),
-        F.count_distinct(F.xxhash64("text")).alias("nd")).first()
-    return r.n != r.nd
+# Collapse-branch thresholds: the exact-dup collapse pays a fixed tax
+# (text-hash group map, rep semi-join, verdict-expansion joins, intra
+# build) and earns it back quadratically on dup CLIQUES — a clique of
+# k identical docs costs the PLAIN pipeline C(k,2) candidate pairs
+# each verified over the full shingle set, versus k-1 expansion rows
+# under the collapse.  With small cliques and little dup mass the tax
+# exceeds the earnings, and both plans are output-identical to the
+# per-doc oracle SQL, so the branch is a pure cost decision.  Bounds:
+# plain-path extra verify work per clique is < MAX_PLAIN_CLIQUE/2
+# times the collapsed cost, and total extra shingle/sig work is
+# < MAX_PLAIN_DUP_FRAC of the corpus — both trivial at these caps.
+MAX_PLAIN_CLIQUE = 8
+MAX_PLAIN_DUP_FRAC = 0.02
+
+
+def _collapse_worthwhile(spark, sf_dir) -> bool:
+    """ONE lean probe job deciding the collapse branch: group doc
+    counts by a 64-bit text hash (long keys — partial-aggregable, no
+    text shuffled, no cache materialization) and reduce to corpus
+    size, distinct-text count, and the LARGEST exact-dup clique.
+    Collapse only when a clique exceeds MAX_PLAIN_CLIQUE or the dup
+    mass exceeds MAX_PLAIN_DUP_FRAC — the regimes where the plain
+    per-doc pipeline's quadratic clique work bites.  Hash collisions
+    merge distinct texts, which can only inflate the clique/mass
+    estimates and flip toward the (always-correct) collapse path, so
+    the probe is output-safe either way."""
+    g = (_docs(spark, sf_dir)
+         .groupBy(F.xxhash64("text").alias("h"))
+         .agg(F.count("*").alias("k")))
+    r = g.agg(F.sum("k").alias("n"), F.count("*").alias("nd"),
+              F.max("k").alias("mk")).first()
+    if not r.n:
+        return False
+    dup_frac = 1.0 - r.nd / r.n
+    return (r.mk or 0) > MAX_PLAIN_CLIQUE or dup_frac > MAX_PLAIN_DUP_FRAC
 
 
 def _rep_shingle_arrays(spark, sf_dir, groups):
@@ -274,11 +291,13 @@ shingles AS (
 def minhash_lsh_pairs(spark, sf_dir):
     """Candidate near-dup pairs: exact-dup collapse -> rep-level
     shingle/MinHash/band join -> relational expansion back to member
-    pairs.  Bitwise-equal to the per-doc MINHASH_SQL oracle.  On a
-    dup-free corpus (detected by _has_dups) every doc is its own rep,
-    so the expansion/intra stages are skipped outright."""
+    pairs.  Bitwise-equal to the per-doc MINHASH_SQL oracle.  When the
+    collapse isn't worthwhile (_collapse_worthwhile: dup-free or
+    near-dup-free corpora) the plain per-doc pipeline runs instead —
+    identical sigs still collide in every band, so dup pairs are
+    emitted either way and the output is unchanged."""
     docmap, groups = _dup_groups(spark, sf_dir)
-    if not _has_dups(spark, sf_dir):
+    if not _collapse_worthwhile(spark, sf_dir):
         return _rep_lsh_pairs(_shingle_arrays(spark, sf_dir))
     rp = _rep_lsh_pairs(_rep_shingle_arrays(spark, sf_dir, groups))
     return (_expand_rep_pairs(rp, docmap, groups)
@@ -295,11 +314,13 @@ def lsh_pair_graph(spark, sf_dir):
     components over minhash_lsh_pairs output exactly — with edge count
     linear, not quadratic, in duplicate mass.  Star edges carry the
     same shingle-length gate as the pair pipeline (texts too short to
-    shingle never pair, so their dup groups stay singletons).  On a
-    dup-free corpus (_has_dups) the star edge set is empty by
-    construction, so an empty frame replaces the star-build joins."""
+    shingle never pair, so their dup groups stay singletons).  When
+    the collapse isn't worthwhile (_collapse_worthwhile) the plain
+    per-doc pair set already contains every intra-clique pair
+    (identical sigs collide in every band), so its closure equals the
+    collapsed form's and an empty frame replaces the star edges."""
     docmap, groups = _dup_groups(spark, sf_dir)
-    if not _has_dups(spark, sf_dir):
+    if not _collapse_worthwhile(spark, sf_dir):
         rp = _rep_lsh_pairs(_shingle_arrays(spark, sf_dir))
         star = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
         return docmap, groups, rp, star
@@ -408,10 +429,12 @@ def dedup_lsh_verified(spark, sf_dir, threshold: float = 0.5):
     identity.  The signature side shingles the reps once (consumed by
     one partial-aggregable groupBy); the verify side shingles only the
     LSH-candidate docs (semi-join gate BEFORE the explode, as before).
-    On a dup-free corpus (_has_dups) the rep level IS the doc level:
-    verdicts are returned directly, skipping expansion and intra."""
+    When the collapse isn't worthwhile (_collapse_worthwhile) the rep
+    level IS the doc level — identical texts pair through the regular
+    LSH machinery with jaccard 1.0 — and verdicts are returned
+    directly, skipping expansion and intra."""
     docmap, groups = _dup_groups(spark, sf_dir)
-    dups = _has_dups(spark, sf_dir)
+    dups = _collapse_worthwhile(spark, sf_dir)
     rep_docs = (_docs(spark, sf_dir)
                 .join(groups.select("doc_id"), "doc_id", "left_semi")
                 if dups else None)
@@ -571,7 +594,8 @@ def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
     # whole collapse machinery — the groupBy over full 64-dim vector
     # keys AND the member-pair expansion joins are 1:1 identities in
     # that case — the same adaptive branch as the text family's
-    # _has_dups.  A hash collision can only under-count distincts,
+    # _collapse_worthwhile.  A hash collision can only under-count
+    # distincts,
     # flipping the branch to the (always-correct) collapse path, so
     # the probe is output-safe.
     probe = e.agg(F.count("*").alias("n"),

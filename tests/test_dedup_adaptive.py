@@ -1,9 +1,10 @@
-"""The exact-dup collapse is ADAPTIVE (dedup._has_dups): dup-free
-corpora skip the expansion machinery, dup-heavy corpora keep it.  The
-sf corpora are dup-free, so the driver's oracle gate exercises the
-fast path; these tests pin the COLLAPSE branch against the same DuckDB
-oracle SQL on crafted dup-heavy corpora — both branches must be
-bitwise-equal to the per-doc SQL semantics.
+"""The exact-dup collapse is ADAPTIVE (dedup._collapse_worthwhile):
+corpora whose dup mass/cliques are below the plain-path thresholds run
+the per-doc pipeline, dup-heavy corpora keep the collapse.  The sf
+corpora sit below the thresholds, so the driver's oracle gate
+exercises the plain path; these tests pin the COLLAPSE branch against
+the same DuckDB oracle SQL on crafted dup-heavy corpora — both
+branches must be bitwise-equal to the per-doc SQL semantics.
 """
 
 from __future__ import annotations
@@ -16,7 +17,8 @@ import pytest
 
 from jerex_spark.caching import release_persisted
 from jerex_spark.operators.dedup import (DEDUP_VERIFIED_SQL, MINHASH_SQL,
-                                         _has_dups, dedup_lsh_verified,
+                                         _collapse_worthwhile,
+                                         dedup_lsh_verified,
                                          minhash_lsh_pairs)
 
 BASE = [
@@ -60,10 +62,12 @@ def _duck(d, sql):
 
 
 def test_branch_detection(spark, corpus_dir):
-    # round 6: the probe is one lean agg over the documents table
-    # (count vs distinct-hash count), no cache materialization
+    # round 6: one lean grouped probe (dup mass + max clique vs the
+    # plain-path thresholds), no cache materialization.  The dup-heavy
+    # fixture's dup fraction (5/11) far exceeds MAX_PLAIN_DUP_FRAC, so
+    # it must pick the collapse; the dup-free twin must not.
     d, dup_heavy = corpus_dir
-    assert _has_dups(spark, d) is dup_heavy
+    assert _collapse_worthwhile(spark, d) is dup_heavy
 
 
 def test_minhash_pairs_match_oracle_both_branches(spark, corpus_dir):
