@@ -177,10 +177,11 @@ def dedup_components(spark, sf_dir) -> DataFrame:
     + per-group star edges, dedup.lsh_pair_graph): identical closure
     as the expanded pair list — dup groups are cliques and a star
     spans a clique — at k-1 instead of C(k,2) edges per group."""
-    _dm, _g, rep_pairs, star = lsh_pair_graph(spark, sf_dir)
+    d = _docs(spark, sf_dir)   # one parquet read shared with the graph
+    _dm, _g, rep_pairs, star = lsh_pair_graph(spark, sf_dir, docs_df=d)
     comp = connected_components(rep_pairs.unionByName(star),
                                 "doc_a", "doc_b")
-    labeled = (_docs(spark, sf_dir).select("doc_id")
+    labeled = (d.select("doc_id")
                .join(comp, F.col("doc_id") == F.col("id"), "left")
                .select("doc_id",
                        F.coalesce("component", "doc_id")

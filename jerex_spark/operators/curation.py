@@ -53,7 +53,8 @@ def corpus_curation(spark, sf_dir) -> DataFrame:
     # verdict is ONE documents scan — no self-join of per-doc score
     # tables (the oracle joins QUALITY_SQL/_langid_sql on doc_id, which
     # is value-identical)
-    verdict = (_docs(spark, sf_dir)
+    d = _docs(spark, sf_dir)   # one parquet read shared with the graph
+    verdict = (d
                .select("doc_id",
                        pred_lang_expr().alias("pred_lang"),
                        quality_expr().alias("quality"))
@@ -70,7 +71,7 @@ def corpus_curation(spark, sf_dir) -> DataFrame:
     # only then (an id-dependent filter could drop just the rep and
     # disconnect members the expanded member-member pairs would have
     # kept together; such a filter must go back to minhash_lsh_pairs).
-    _dm, _g, rep_pairs, star = lsh_pair_graph(spark, sf_dir)
+    _dm, _g, rep_pairs, star = lsh_pair_graph(spark, sf_dir, docs_df=d)
     edges = (rep_pairs.unionByName(star)
              .join(surv.withColumnRenamed("doc_id", "doc_a"),
                    "doc_a", "left_semi")

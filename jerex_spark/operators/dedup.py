@@ -76,10 +76,17 @@ def _shingle_array(k: int = SHINGLE_K):
     length gate), and an unclamped ``sequence(0, -1)`` is descending —
     its ``i = -1`` made ``slice(l, 0, k)`` raise.  Rows with
     ``size(l) < k`` never reach the output, so the clamp changes no
-    result."""
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("l") - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice("l", i + 1, k))))
+    result.
+
+    One ``F.expr`` string on purpose: the composed-Column form cost a
+    dozen py4j round trips per call site, and query CONSTRUCTION time
+    (driver-side, inside the bench's timed region, ~0.6ms per py4j
+    call) is a measured chunk of every shingle query — the parsed
+    expression tree is identical."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size(l) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice(l, i + 1, {k}))))")
 
 
 def _split_docs(spark, sf_dir, k: int, docs_df):
@@ -140,12 +147,12 @@ def _shingles_n(spark, sf_dir, k: int = SHINGLE_K, docs_df=None):
 # Array-free on purpose: expansion is equi-joins on the text hash, so
 # a pathological million-copy text never materializes a giant
 # collect_list row.
-def _dup_groups(spark, sf_dir):
+def _dup_groups(spark, sf_dir, docs_df=None):
     """(docmap, groups): per-doc (doc_id, th=md5(text), n_toks) map and
     one representative (min doc_id) per distinct text.  Both persisted
     — the rep filter, the verdict expansion, and the intra-group pair
     build all reuse them."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir) if docs_df is None else docs_df
     # spread before the md5+split projection (same rationale as
     # _split_docs: a single-split scan would hash the whole corpus on
     # one task)
@@ -173,7 +180,7 @@ MAX_PLAIN_CLIQUE = 8
 MAX_PLAIN_DUP_FRAC = 0.02
 
 
-def _collapse_worthwhile(spark, sf_dir) -> bool:
+def _collapse_worthwhile(spark, sf_dir, docs_df=None) -> bool:
     """ONE lean probe job deciding the collapse branch: group doc
     counts by a 64-bit text hash (long keys — partial-aggregable, no
     text shuffled, no cache materialization) and reduce to corpus
@@ -184,7 +191,7 @@ def _collapse_worthwhile(spark, sf_dir) -> bool:
     merge distinct texts, which can only inflate the clique/mass
     estimates and flip toward the (always-correct) collapse path, so
     the probe is output-safe either way."""
-    g = (_docs(spark, sf_dir)
+    g = ((_docs(spark, sf_dir) if docs_df is None else docs_df)
          .groupBy(F.xxhash64("text").alias("h"))
          .agg(F.count("*").alias("k")))
     r = g.agg(F.sum("k").alias("n"), F.count("*").alias("nd"),
@@ -195,14 +202,14 @@ def _collapse_worthwhile(spark, sf_dir) -> bool:
     return (r.mk or 0) > MAX_PLAIN_CLIQUE or dup_frac > MAX_PLAIN_DUP_FRAC
 
 
-def _rep_shingle_arrays(spark, sf_dir, groups):
+def _rep_shingle_arrays(spark, sf_dir, groups, docs_df=None):
     """Shingle-array table restricted to group representatives — the
     filter sits BEFORE the shingle transform, so the k-1 duplicate
     copies never shingle."""
     reps = groups.select("doc_id")
+    d = _docs(spark, sf_dir) if docs_df is None else docs_df
     return _shingle_arrays(spark, sf_dir,
-                           docs_df=_docs(spark, sf_dir)
-                           .join(reps, "doc_id", "left_semi"))
+                           docs_df=d.join(reps, "doc_id", "left_semi"))
 
 
 def _sig_table(sharr_df):
@@ -216,10 +223,11 @@ def _sig_table(sharr_df):
     Sort + SortAggregate pairs around an exchange; guide §2.4: the
     work is per-document, so no shuffle is fundamentally required)."""
     def one_min(i: int):
-        return F.array_min(F.transform(
-            "sharr",
-            lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s)))
-        ).alias(f"s{i}")
+        # one F.expr per hash id (vs ~8 py4j calls each composed):
+        # construction cost, not plan shape — the tree is identical
+        return F.expr(
+            f"array_min(transform(sharr, "
+            f"s -> md5(concat_ws('|', '{i}', s))))").alias(f"s{i}")
 
     mins = sharr_df.select("doc_id",
                            *[one_min(i) for i in range(N_HASHES)])
@@ -296,15 +304,21 @@ def minhash_lsh_pairs(spark, sf_dir):
     near-dup-free corpora) the plain per-doc pipeline runs instead —
     identical sigs still collide in every band, so dup pairs are
     emitted either way and the output is unchanged."""
-    docmap, groups = _dup_groups(spark, sf_dir)
-    if not _collapse_worthwhile(spark, sf_dir):
-        return _rep_lsh_pairs(_shingle_arrays(spark, sf_dir))
-    rp = _rep_lsh_pairs(_rep_shingle_arrays(spark, sf_dir, groups))
+    # ONE parquet read shared by every subtree of this query: each
+    # spark.read.parquet call re-reads the file footer JVM-side
+    # (~70ms measured) and the construction happens inside the timed
+    # region — the reused plan node is identical to re-reading.
+    d = _docs(spark, sf_dir)
+    docmap, groups = _dup_groups(spark, sf_dir, docs_df=d)
+    if not _collapse_worthwhile(spark, sf_dir, docs_df=d):
+        return _rep_lsh_pairs(_shingle_arrays(spark, sf_dir, docs_df=d))
+    rp = _rep_lsh_pairs(_rep_shingle_arrays(spark, sf_dir, groups,
+                                            docs_df=d))
     return (_expand_rep_pairs(rp, docmap, groups)
             .unionByName(_intra_pairs(docmap, groups)))
 
 
-def lsh_pair_graph(spark, sf_dir):
+def lsh_pair_graph(spark, sf_dir, docs_df=None):
     """(docmap, groups, rep_pairs, star_edges): the COLLAPSED form of
     minhash_lsh_pairs for consumers that need the graph's closure, not
     the pair list (operators/components.py, curation.py).  A dup group
@@ -319,12 +333,14 @@ def lsh_pair_graph(spark, sf_dir):
     per-doc pair set already contains every intra-clique pair
     (identical sigs collide in every band), so its closure equals the
     collapsed form's and an empty frame replaces the star edges."""
-    docmap, groups = _dup_groups(spark, sf_dir)
-    if not _collapse_worthwhile(spark, sf_dir):
-        rp = _rep_lsh_pairs(_shingle_arrays(spark, sf_dir))
+    d = _docs(spark, sf_dir) if docs_df is None else docs_df
+    docmap, groups = _dup_groups(spark, sf_dir, docs_df=d)
+    if not _collapse_worthwhile(spark, sf_dir, docs_df=d):
+        rp = _rep_lsh_pairs(_shingle_arrays(spark, sf_dir, docs_df=d))
         star = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
         return docmap, groups, rp, star
-    rp = _rep_lsh_pairs(_rep_shingle_arrays(spark, sf_dir, groups))
+    rp = _rep_lsh_pairs(_rep_shingle_arrays(spark, sf_dir, groups,
+                                            docs_df=d))
     star = (docmap.filter(F.col("n_toks") >= SHINGLE_K)
             .join(groups.select("th", F.col("doc_id").alias("rep")), "th")
             .filter(F.col("doc_id") != F.col("rep"))
@@ -373,11 +389,12 @@ def ngram_jaccard(spark, sf_dir, shingles=None):
     # former per-doc count aggregation and its two re-joins are gone
     # and the only shuffles left are the self-join + one partial agg.
     if shingles is None:
-        _guard_allpairs(_docs(spark, sf_dir).select("doc_id"),
+        d = _docs(spark, sf_dir)
+        _guard_allpairs(d.select("doc_id"),
                         "ngram_jaccard", "dedup_lsh_verified")
+        shingles = _shingles_n(spark, sf_dir, docs_df=d)
     # used twice below (both join sides): cache
-    sh = _persist(shingles if shingles is not None
-                  else _shingles_n(spark, sf_dir))
+    sh = _persist(shingles)
     a = sh.select(F.col("doc_id").alias("doc_a"),
                   F.col("n").alias("n_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"),
@@ -433,13 +450,14 @@ def dedup_lsh_verified(spark, sf_dir, threshold: float = 0.5):
     level IS the doc level — identical texts pair through the regular
     LSH machinery with jaccard 1.0 — and verdicts are returned
     directly, skipping expansion and intra."""
-    docmap, groups = _dup_groups(spark, sf_dir)
-    dups = _collapse_worthwhile(spark, sf_dir)
-    rep_docs = (_docs(spark, sf_dir)
-                .join(groups.select("doc_id"), "doc_id", "left_semi")
+    d = _docs(spark, sf_dir)   # ONE parquet read for every subtree
+    docmap, groups = _dup_groups(spark, sf_dir, docs_df=d)
+    dups = _collapse_worthwhile(spark, sf_dir, docs_df=d)
+    rep_docs = (d.join(groups.select("doc_id"), "doc_id", "left_semi")
                 if dups else None)
     rp = _persist(_rep_lsh_pairs(
-        _shingle_arrays(spark, sf_dir, docs_df=rep_docs)))
+        _shingle_arrays(spark, sf_dir,
+                        docs_df=d if rep_docs is None else rep_docs)))
     cand_docs = (rp.select(F.col("doc_a").alias("doc_id"))
                  .unionByName(rp.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
@@ -452,7 +470,7 @@ def dedup_lsh_verified(spark, sf_dir, threshold: float = 0.5):
     # No broadcast hint: AQE converts the semi-join to broadcast at
     # runtime when the candidate set is small (the common case) but
     # degrades to a shuffle join gracefully when a corpus is dup-heavy.
-    gated_docs = ((_docs(spark, sf_dir) if rep_docs is None else rep_docs)
+    gated_docs = ((d if rep_docs is None else rep_docs)
                   .join(cand_docs, "doc_id", "left_semi"))
     jac = ngram_jaccard(spark, sf_dir,
                         shingles=_shingles_n(spark, sf_dir,
@@ -622,10 +640,21 @@ def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
             min_bands=EMBDUP_N_BANDS)
     # persisted: the band self-join consumes ba on BOTH sides and Spark
     # has no cross-plan CSE, so an unpersisted ba would run the
-    # Arrow-batched bucketing UDF twice over the corpus
+    # Arrow-batched bucketing UDF twice over the corpus.  Partitioned
+    # by the join key AT PERSIST TIME (guide §2.4: two operations keyed
+    # the same way share one exchange): the cached partitioning feeds
+    # both join sides, so the self-join plans NO exchange of its own —
+    # one shuffle of (id, band, bucket) instead of two — and, since the
+    # join's row estimate is its tiny input (AQE cannot know the
+    # within-bucket pair generation explodes ~60x), the explicit
+    # partition count keeps the exploding join + partial pair-distinct
+    # on all cores instead of the 1-2 partitions AQE coalesces a ~MB
+    # exchange to (measured 1.10s -> 0.45s for the stage at sf0.1).
     ba = persist_tracked(
         _band_buckets(reps, n_bands=n_bands, band_bits=band_bits)
-        .select("vec_id", "band", "bucket"))
+        .select("vec_id", "band", "bucket")
+        .repartition(spark.sparkContext.defaultParallelism,
+                     "band", "bucket"))
     pairs = (ba.join(ba.select(F.col("vec_id").alias("id_b"),
                                "band", "bucket").hint("shuffle_hash"),
                      ["band", "bucket"])
