@@ -35,11 +35,15 @@ def normalize_phrase(col):
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
-def _char_shingles(col, k: int = SHINGLE_C):
-    """All k-char shingles of a string as an array column (JVM-side)."""
-    n = F.greatest(F.length(col) - (k - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(1), n),
-                       lambda i: F.substring(col, i, k))
+def _char_shingles(col_name: str, k: int = SHINGLE_C):
+    """All k-char shingles of the named string column as an array
+    column (JVM-side).  One ``F.expr`` string: the composed-Column
+    form cost ~a dozen py4j round trips per call site, a measured
+    slice of canon_gazetteer's driver-side construction time — the
+    parsed expression tree is identical."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col_name}) - {k - 1}, "
+        f"1)), i -> substring({col_name}, i, {k}))")
 
 
 def _minhash_sigs(df: DataFrame, text_col: str, id_cols: list[str]):
@@ -52,13 +56,13 @@ def _minhash_sigs(df: DataFrame, text_col: str, id_cols: list[str]):
     pairs a var-length string min used to force — same move as
     operators/dedup._sig_table."""
     def one_min(i: int):
-        return F.array_min(F.transform(
-            "sharr",
-            lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s)))
-        ).alias(f"s{i}")
+        # one F.expr per hash id (construction cost; identical tree)
+        return F.expr(
+            f"array_min(transform(sharr, "
+            f"s -> md5(concat_ws('|', '{i}', s))))").alias(f"s{i}")
 
     mins = (df.select(*id_cols,
-                      F.array_distinct(_char_shingles(F.col(text_col)))
+                      F.array_distinct(_char_shingles(text_col))
                       .alias("sharr"))
             .select(*id_cols, *[one_min(i) for i in range(N_HASHES)]))
     stacked = ", ".join(f"{i}, s{i}" for i in range(N_HASHES))

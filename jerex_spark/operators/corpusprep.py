@@ -76,10 +76,10 @@ def decontaminate(spark, sf_dir) -> DataFrame:
     document: n_overlap = how many of its distinct 5-gram shingles
     also occur anywhere in the held-out test split.  Short docs
     (< SHINGLE_K tokens) have no shingles and are trivially clean."""
-    splits = hash_split(spark, sf_dir)
+    docs = _docs(spark, sf_dir)   # one parquet read for every subtree
+    splits = hash_split(spark, sf_dir, docs_df=docs)
     train = splits.filter(F.col("split") == "train").select("doc_id")
     test = splits.filter(F.col("split") == "test").select("doc_id")
-    docs = _docs(spark, sf_dir)
 
     # gate each side BEFORE shingling: the explode+distinct only ever
     # runs over rows that reach the join

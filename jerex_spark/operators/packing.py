@@ -61,12 +61,15 @@ def _hex4_to_int(h):
     return v.cast("long")
 
 
-def hash_split(spark, sf_dir) -> DataFrame:
+def hash_split(spark, sf_dir, docs_df=None) -> DataFrame:
     """(doc_id, bucket, split): deterministic md5-bucket split
-    assignment.  Zero shuffles — the plan is scan + project."""
+    assignment.  Zero shuffles — the plan is scan + project.
+    ``docs_df`` lets composing queries (decontaminate) share one
+    parquet read — each spark.read.parquet re-reads the file footer
+    (~70ms of driver-side construction time)."""
     h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SALT)))
     bucket = (_hex4_to_int(h) % 1000).alias("bucket")
-    return (_docs(spark, sf_dir)
+    return ((_docs(spark, sf_dir) if docs_df is None else docs_df)
             .select("doc_id", bucket)
             .withColumn("split",
                         F.when(F.col("bucket") < TRAIN_LT, "train")

@@ -78,14 +78,25 @@ FROM top WHERE rank <= {TOP_K}
 
 
 # --- sign-LSH bucketing (scale path; golden-oracle-backed) ---------------
+_PLANE_CACHE: dict[tuple[int, int], list[float]] = {}
+
+
 def _plane_weights(p: int, dim: int = 64) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j of plane p =
     +1/-1 by parity of the first md5 nibble of 'plane{p}|{j}' — the
-    same values the DuckDB oracle derives in SQL."""
-    import hashlib
-    return [1.0 if int(hashlib.md5(f"plane{p}|{j}".encode())
-                       .hexdigest()[0], 16) % 2 == 0 else -1.0
-            for j in range(dim)]
+    same values the DuckDB oracle derives in SQL.  Memoized: these are
+    pure constants of (p, dim), and the auto schedule derives 100+
+    planes per query, so re-hashing 64 md5s per plane per invocation
+    was a measured slice of driver-side construction time."""
+    key = (p, dim)
+    w = _PLANE_CACHE.get(key)
+    if w is None:
+        import hashlib
+        w = [1.0 if int(hashlib.md5(f"plane{p}|{j}".encode())
+                        .hexdigest()[0], 16) % 2 == 0 else -1.0
+             for j in range(dim)]
+        _PLANE_CACHE[key] = w
+    return w
 
 
 def _plane_expr(p: int, dim: int = 64) -> str:
