@@ -455,9 +455,19 @@ def dedup_lsh_verified(spark, sf_dir, threshold: float = 0.5):
     dups = _collapse_worthwhile(spark, sf_dir, docs_df=d)
     rep_docs = (d.join(groups.select("doc_id"), "doc_id", "left_semi")
                 if dups else None)
-    rp = _persist(_rep_lsh_pairs(
+    # rp is REFERENCED FIVE TIMES downstream (both cand_docs legs, the
+    # verdict join, and via the gated shingle table's lineage), so its
+    # ~500-line subtree used to be re-canonicalized for every cache
+    # lookup at planning time — a measured driver-side gap before the
+    # first heavy job.  localCheckpoint truncates the lineage to the
+    # materialized pair table (tiny: near-dup candidates), so every
+    # downstream reference plans against a leaf.  Same durability trade
+    # as components.py's closure loop — at cluster scale with executor
+    # churn swap for a reliable checkpoint(), same call shape.
+    rp = _rep_lsh_pairs(
         _shingle_arrays(spark, sf_dir,
-                        docs_df=d if rep_docs is None else rep_docs)))
+                        docs_df=d if rep_docs is None else rep_docs)
+    ).localCheckpoint()
     cand_docs = (rp.select(F.col("doc_a").alias("doc_id"))
                  .unionByName(rp.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
@@ -650,16 +660,34 @@ def embdup_cosine_lsh(spark, sf_dir, threshold: float = COS_DUP_THRESHOLD,
     # partition count keeps the exploding join + partial pair-distinct
     # on all cores instead of the 1-2 partitions AQE coalesces a ~MB
     # exchange to (measured 1.10s -> 0.45s for the stage at sf0.1).
+    # the band-bucket build is spread by vec_id first: its input is the
+    # cached vector table, whose partitioning follows the (possibly
+    # single-split) scan, and the bucketing matmul + posexplode are
+    # per-row compute that would otherwise run on that one task (same
+    # rationale as _split_docs; measured one 0.29s single-task stage at
+    # sf0.1)
+    n_par = spark.sparkContext.defaultParallelism
     ba = persist_tracked(
-        _band_buckets(reps, n_bands=n_bands, band_bits=band_bits)
+        _band_buckets(reps.repartition(n_par, "vec_id"),
+                      n_bands=n_bands, band_bits=band_bits)
         .select("vec_id", "band", "bucket")
-        .repartition(spark.sparkContext.defaultParallelism,
-                     "band", "bucket"))
+        .repartition(n_par, "band", "bucket"))
+    # the explicit repartition below PINS the pair-distinct shuffle at
+    # full parallelism on the same (id_a, id_b) keys the distinct
+    # already hashes by — no second exchange — because the stage ABOVE
+    # it (exact cosine: a 64-term HOF fold per pair) is compute-bound
+    # per row while its shuffled bytes are two longs per pair, exactly
+    # the case AQE's size-based coalescing mis-sizes (measured: AQE
+    # coalesced the candidate table to 10 partitions and the cosine
+    # stage ran 1.42s; pinned at defaultParallelism it spreads to all
+    # cores).  Scale-adaptive: derived from session parallelism.
     pairs = (ba.join(ba.select(F.col("vec_id").alias("id_b"),
                                "band", "bucket").hint("shuffle_hash"),
                      ["band", "bucket"])
              .filter(F.col("vec_id") < F.col("id_b"))
              .select(F.col("vec_id").alias("id_a"), "id_b")
+             .repartition(spark.sparkContext.defaultParallelism,
+                          "id_a", "id_b")
              .distinct())
     va = reps.select(F.col("vec_id").alias("id_a"),
                      F.col("vec").alias("va"), F.col("norm").alias("na"))
